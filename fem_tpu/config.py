@@ -1,0 +1,72 @@
+"""Run configuration for fem_tpu solves.
+
+Mirrors the reference's two config layers (SURVEY.md §5): the .inp deck header
+(`stype pdim nodal_bw` / counts / `t dt`, m_io.F90:16-18) carries the problem
+definition, while this Config carries solver/runtime knobs that the reference
+exposed through PETSc runtime options (main.F90:206,377).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+
+@dataclasses.dataclass(frozen=True)
+class Config:
+    """Solver/runtime options.
+
+    Attributes:
+      dtype: numpy-style dtype string for device arrays ("float64" for parity
+        with the reference's real(8); "float32"/"bfloat16" for TPU speed).
+      solver: "direct" (dense factorization; the MUMPS-equivalent for small n),
+        "cg" (matrix-free Jacobi-preconditioned CG; SPD elastic path), or
+        "auto" (direct below `direct_threshold` DOFs, else cg).
+      rtol: Krylov relative tolerance (reference: 1e-9, main.F90:349-351).
+      atol: Krylov absolute tolerance.
+      maxiter: Krylov max iterations (0 -> heuristic n-based cap).
+      bc_mode: "penalty" replicates the reference penalty method (diag<-1e30,
+        rhs<-1e30*u_bc*dt/t, m_global.F90:296,451); "eliminate" pins the
+        constrained DOFs exactly and moves their coupling to the RHS - the
+        iterative-solver-friendly formulation with the same solution in the
+        penalty->inf limit. Direct solves default to penalty, iterative to
+        eliminate (resolved by `resolve_bc_mode`).
+      newton_rtol/newton_atol/newton_stol/newton_maxit: SNES-equivalent Newton
+        controls (PETSc defaults: rtol 1e-8, atol 1e-50, stol 1e-8, maxit 50).
+      formulation: "reference" reproduces the shipped residual
+        R(du) = J(du)*du - F_ext - F_coh(aggregate_u + du) (m_global.F90:226);
+        "standard" uses the textbook incremental residual
+        R(du) = K_el*du - F_ext - F_coh(aggregate_u + du).
+      quirks: replicate two latent reference bugs bit-for-bit (see
+        fem_tpu/ops/cohesive.py): the dense cohesive traction overwriting
+        instead of accumulating over integration points (m_global.F90:669) and
+        the operator-precedence bug in the dense cohesive stiffness
+        (m_global.F90:829-831). Default False: correct physics.
+      direct_threshold: max DOF count for the dense direct path under "auto".
+      n_devices: number of devices to shard elements over (None = all local).
+    """
+
+    dtype: str = "float64"
+    solver: str = "auto"
+    rtol: float = 1e-9
+    atol: float = 0.0
+    maxiter: int = 0
+    bc_mode: str = "auto"
+    newton_rtol: float = 1e-8
+    newton_atol: float = 1e-50
+    newton_stol: float = 1e-8
+    newton_maxit: int = 50
+    formulation: str = "reference"
+    quirks: bool = False
+    direct_threshold: int = 4096
+    n_devices: Optional[int] = None
+
+    def resolve_solver(self, ndof: int) -> str:
+        if self.solver != "auto":
+            return self.solver
+        return "direct" if ndof <= self.direct_threshold else "cg"
+
+    def resolve_bc_mode(self, solver: str) -> str:
+        if self.bc_mode != "auto":
+            return self.bc_mode
+        return "penalty" if solver == "direct" else "eliminate"
