@@ -1,0 +1,79 @@
+"""Command-line driver: `python -m fem_tpu -f <deck.inp>`.
+
+Mirrors the reference CLI `mpiexec -n <cores> defmod -f <file>`
+(main.F90:31-33) — no mpiexec needed: device parallelism comes from the JAX
+mesh (use --devices to shard elements over chips). Writes
+`0_output_000000.vtk` in the working directory like the reference's rank-0
+writer (m_io.F90:496).
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser(
+        prog="fem_tpu", description="TPU-native FEM solver (defmod-compatible)"
+    )
+    ap.add_argument("-f", dest="input_file", help="input .inp deck")
+    ap.add_argument(
+        "--solver", default="auto", choices=["auto", "direct", "cg"],
+        help="linear solver (default: auto)"
+    )
+    ap.add_argument("--dtype", default="float64")
+    ap.add_argument(
+        "--bc-mode", default="auto", choices=["auto", "penalty", "eliminate"]
+    )
+    ap.add_argument("--quirks", action="store_true",
+                    help="replicate reference cohesive defects bit-for-bit")
+    ap.add_argument("--formulation", default="reference",
+                    choices=["reference", "standard"])
+    ap.add_argument("-o", "--output-prefix", default="",
+                    help="directory/prefix for VTK output")
+    ap.add_argument("-q", "--quiet", action="store_true")
+    args = ap.parse_args(argv)
+
+    if not args.input_file:
+        print("Usage: python -m fem_tpu -f <filename>")
+        return 1
+
+    def log(msg: str) -> None:
+        if not args.quiet:
+            print(msg, flush=True)
+
+    from fem_tpu.config import Config
+    from fem_tpu.io import vtk
+    from fem_tpu.models import problem as problem_mod
+    from fem_tpu.solver import stepper
+
+    log("Reading input ...")
+    problem = problem_mod.load(args.input_file)
+    config = Config(
+        dtype=args.dtype,
+        solver=args.solver,
+        bc_mode=args.bc_mode,
+        quirks=args.quirks,
+        formulation=args.formulation,
+    )
+    log("Forming [K] ...")
+    t0 = time.perf_counter()
+    result = stepper.run(problem, config, log=log)
+    log(f"Solved {result.nsteps} step(s) in {time.perf_counter() - t0:.3f}s")
+
+    name = f"{args.output_prefix}0_output_000000.vtk"
+    vtk.write(
+        name,
+        problem.coords,
+        vtk.cells_in_deck_order(problem),
+        result.aggregate_stress,
+        result.aggregate_u,
+    )
+    log("Finished")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

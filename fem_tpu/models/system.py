@@ -1,0 +1,244 @@
+"""Device-side FEM system: assembly, RHS, cohesive residual, stress recovery.
+
+This is the TPU-native replacement for m_global.F90's PETSc-centric global
+layer. The reference scatters per-element dense matrices into a distributed
+MatAIJ (main.F90:157-171) and exchanges ghosts through VecScatter
+(m_global.F90:549-564); here the whole system lives in device arrays and
+assembly is a segment-sum / scatter-add, so "ghost exchange" disappears (or
+becomes a psum when sharded — see fem_tpu/parallel).
+
+A System precomputes, per element type block:
+  - gathered element coordinates  (ne, nn, pdim)
+  - per-element D matrices        (ne, cpdim, cpdim)   [E=0 for mat -1, i.e.
+    cohesive elements contribute zero to the elastic K — FormLocalK
+    m_global.F90:250-253]
+  - batched element stiffness     (ne, ndof, ndof)
+  - interleaved dof index arrays  (ne, ndof)
+and exposes:
+  - dense_K() / matvec(u) / diag()           elastic operator
+  - rhs(t_init)                              time-windowed loads (FormRHS)
+  - coh_force(u) / coh_stiffness_dense(u)    cohesive terms (applyTract_1 /
+                                             applyStiff_1)
+  - stress_increment(du)                     nodal-averaged stress recovery
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from fem_tpu.models.problem import Problem
+from fem_tpu.ops import cohesive as coh_ops
+from fem_tpu.ops import dmat as dmat_ops
+from fem_tpu.ops import elements as element_lib
+from fem_tpu.ops import stiffness as stiff_ops
+
+PENALTY = 1.0e30  # PENALTY_PARAM (m_global.F90:15)
+
+
+class System:
+    def __init__(self, problem: Problem, dtype=jnp.float64):
+        self.problem = problem
+        self.dtype = dtype
+        p = problem
+        self.pdim = p.pdim
+        self.cpdim = 3 if p.pdim == 2 else 6
+        self.ndof = p.ndof
+        self.nnds = p.nnds
+
+        self.coords = jnp.asarray(p.coords, dtype=dtype)
+
+        # Material table with a zero row appended so mat == -1 (cohesive /
+        # unset) indexes E=0, nu=0 — replicating FormLocalK's explicit zeroing.
+        mats = np.vstack([p.mats, np.zeros((1, p.mats.shape[1]))])
+        self._mats = mats
+
+        self.blocks: Dict[str, dict] = {}
+        for name, b in p.blocks.items():
+            et = b.et
+            conn = jnp.asarray(b.conn)
+            ecoords = self.coords[conn]  # (ne, nn, pdim)
+            edofs = stiff_ops.element_dofs(et, conn)
+            E = jnp.asarray(mats[b.mat, 0], dtype=dtype)
+            nu = jnp.asarray(mats[b.mat, 1], dtype=dtype)
+            entry = dict(et=et, conn=conn, ecoords=ecoords, edofs=edofs, E=E, nu=nu)
+            if name == "coh":
+                # coh elements carry no elastic stiffness (their mat is 0 in
+                # the decks -> E=0); skip the kernel entirely instead of
+                # assembling a zero block.
+                entry["ke"] = None
+                entry["D"] = None
+                entry["props"] = jnp.asarray(
+                    np.vstack([p.coh_props, np.zeros((1, 6))])[b.nlmat],
+                    dtype=dtype,
+                )
+            else:
+                D = dmat_ops.dmat(E, nu, p.pdim)
+                entry["D"] = D
+                entry["ke"] = stiff_ops.element_stiffness(et, ecoords, D)
+            self.blocks[name] = entry
+
+        # BCs
+        self.bc_dofs = jnp.asarray(p.bc_dofs)
+        self.bc_vals = jnp.asarray(p.bc_vals, dtype=dtype)
+        # Loads
+        self.force_dofs = jnp.asarray(p.force_dofs)
+        self.force_vec = jnp.asarray(p.force_vec, dtype=dtype)
+        self.force_t1 = jnp.asarray(p.force_t1, dtype=dtype)
+        self.force_t2 = jnp.asarray(p.force_t2, dtype=dtype)
+        self.trac_dofs = jnp.asarray(p.trac_dofs)
+        self.trac_nodal_vec = jnp.asarray(p.trac_nodal_vec, dtype=dtype)
+        # FormRHS divides traction windows by dt (m_global.F90:414-415) —
+        # a reference quirk, replicated for deck compatibility.
+        self.trac_t1 = jnp.asarray(p.trac_t1 / p.dt, dtype=dtype)
+        self.trac_t2 = jnp.asarray(p.trac_t2 / p.dt, dtype=dtype)
+
+        self.dt = float(p.dt)
+        self.t_total = float(p.t)
+
+    # ---------------- elastic operator ----------------
+
+    def _continuum(self):
+        return [
+            (name, e) for name, e in self.blocks.items() if e["ke"] is not None
+        ]
+
+    def dense_K(self):
+        """Assembled elastic stiffness, no BCs (main.F90:157-168 equivalent).
+        Cached: K is constant for the whole run (small-deformation static)."""
+        if getattr(self, "_dense_K", None) is None:
+            K = jnp.zeros((self.ndof, self.ndof), dtype=self.dtype)
+            for _, e in self._continuum():
+                edofs = e["edofs"]
+                K = K.at[edofs[:, :, None], edofs[:, None, :]].add(e["ke"])
+            self._dense_K = K
+        return self._dense_K
+
+    def matvec(self, u):
+        """Matrix-free K @ u: gather -> batched k_e @ u_e -> scatter-add."""
+        out = jnp.zeros(self.ndof, dtype=self.dtype)
+        for _, e in self._continuum():
+            ue = u[e["edofs"]]  # (ne, ndof_e)
+            fe = jnp.einsum("eab,eb->ea", e["ke"], ue)
+            out = out.at[e["edofs"].reshape(-1)].add(fe.reshape(-1))
+        return out
+
+    def diag(self):
+        """Diagonal of K (Jacobi preconditioner)."""
+        d = jnp.zeros(self.ndof, dtype=self.dtype)
+        for _, e in self._continuum():
+            ke_diag = jnp.diagonal(e["ke"], axis1=1, axis2=2)
+            d = d.at[e["edofs"].reshape(-1)].add(ke_diag.reshape(-1))
+        return d
+
+    # ---------------- loads ----------------
+
+    def rhs(self, t_init):
+        """Time-windowed external load vector (FormRHS, m_global.F90:373-436).
+
+        Each step applies the fraction overlap([t_init, t_init+dt], [t1,t2])
+        / (t2-t1) of every load (m_global.F90:400-426). BC forcing is NOT
+        included here; solvers apply it per bc_mode.
+        """
+        t_init = jnp.asarray(t_init, dtype=self.dtype)
+        t_end = t_init + self.dt
+        F = jnp.zeros(self.ndof, dtype=self.dtype)
+
+        if self.force_dofs.shape[0]:
+            frac = _window_fraction(t_init, t_end, self.force_t1, self.force_t2)
+            contrib = self.force_vec * frac[:, None]
+            F = F.at[self.force_dofs.reshape(-1)].add(contrib.reshape(-1))
+
+        if self.trac_dofs.shape[0]:
+            frac = _window_fraction(t_init, t_end, self.trac_t1, self.trac_t2)
+            contrib = self.trac_nodal_vec * frac[:, None]  # (nt, pdim)
+            nps = self.trac_dofs.shape[1]
+            contrib = jnp.broadcast_to(
+                contrib[:, None, :], (contrib.shape[0], nps, self.pdim)
+            )
+            F = F.at[self.trac_dofs.reshape(-1)].add(contrib.reshape(-1))
+        return F
+
+    def bc_step_vals(self):
+        """Per-step prescribed displacement: bcval * dt / t — the linear ramp
+        (EnforceBCForce, m_global.F90:451)."""
+        return self.bc_vals * (self.dt / self.t_total)
+
+    # ---------------- cohesive ----------------
+
+    def coh_force(self, u_total, quirks: bool = False):
+        """Global cohesive force vector F_coh(u_total) scattered to dofs
+        (CalcResidual's applyTract_1 + ApplyNodalForce loop,
+        m_global.F90:188-206)."""
+        e = self.blocks["coh"]
+        ue = u_total[e["edofs"]]
+        fe = coh_ops.element_force(e["ecoords"], e["props"], ue, self.dt, quirks)
+        out = jnp.zeros(self.ndof, dtype=self.dtype)
+        return out.at[e["edofs"].reshape(-1)].add(fe.reshape(-1))
+
+    def coh_stiffness_dense(self, u_total, quirks: bool = False):
+        """Dense cohesive tangent contribution (CalcJacobian's applyStiff_1
+        scatter, m_global.F90:130-150)."""
+        e = self.blocks["coh"]
+        ue = u_total[e["edofs"]]
+        ke = coh_ops.element_stiffness(e["ecoords"], e["props"], ue, self.dt, quirks)
+        K = jnp.zeros((self.ndof, self.ndof), dtype=self.dtype)
+        edofs = e["edofs"]
+        return K.at[edofs[:, :, None], edofs[:, None, :]].add(ke)
+
+    def coh_matvec(self, u_total, v, quirks: bool = False):
+        """Matrix-free cohesive tangent times v."""
+        e = self.blocks["coh"]
+        ue = u_total[e["edofs"]]
+        ke = coh_ops.element_stiffness(e["ecoords"], e["props"], ue, self.dt, quirks)
+        fe = jnp.einsum("eab,eb->ea", ke, v[e["edofs"]])
+        out = jnp.zeros(self.ndof, dtype=self.dtype)
+        return out.at[e["edofs"].reshape(-1)].add(fe.reshape(-1))
+
+    # ---------------- stress ----------------
+
+    def stress_increment(self, du):
+        """Nodal-averaged stress from the step increment du.
+
+        Mirrors RecoverStress + RecoverNodalStress + the count/average block
+        (m_global.F90:466-515, main.F90:252-291): per-element ip stress from
+        the *increment*, extrapolated to nodes, summed per node, divided by
+        the number of contributing elements.
+
+        Deviation from the reference (documented): cohesive elements are
+        EXCLUDED. The reference runs them through CalcElStress with an
+        uninitialized dN (ShapeFuncd has no "coh" branch, m_elems.F90:177-185)
+        and an unset stress_at_el (RecoverNodalStress handles neither nip==
+        nodecount nor nip==1 for coh) — undefined behavior, not physics.
+        Returns (nnds, cpdim).
+        """
+        sums = jnp.zeros((self.nnds, self.cpdim), dtype=self.dtype)
+        counts = jnp.zeros(self.nnds, dtype=self.dtype)
+        for _, e in self._continuum():
+            et = e["et"]
+            ue = du[e["edofs"]]
+            sig_ip = stiff_ops.element_stress(et, e["ecoords"], ue, e["D"])
+            sig_nodes = stiff_ops.nodal_stress(et, sig_ip)  # (ne, nn, cpdim)
+            conn_flat = e["conn"].reshape(-1)
+            sums = sums.at[conn_flat].add(
+                sig_nodes.reshape(-1, self.cpdim)
+            )
+            counts = counts.at[conn_flat].add(1.0)
+        counts = jnp.maximum(counts, 1.0)
+        return sums / counts[:, None]
+
+
+def _window_fraction(t_init, t_end, t1, t2):
+    """overlap([t_init,t_end],[t1,t2]) / (t2-t1), zero outside the window
+    (m_global.F90:400-426). Zero-length windows are guarded to 0 (the
+    reference would divide by zero; no shipped deck has them)."""
+    applied = jnp.minimum(t2, t_end) - jnp.maximum(t1, t_init)
+    width = t2 - t1
+    active = jnp.logical_and(t_end >= t1, t_init <= t2)
+    frac = jnp.where(
+        jnp.logical_and(active, width > 0), applied / jnp.where(width > 0, width, 1.0), 0.0
+    )
+    return frac

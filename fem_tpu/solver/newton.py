@@ -1,0 +1,163 @@
+"""Newton-with-line-search for the cohesive nonlinear step (SNES equivalent).
+
+Replicates the reference's SNESNEWTONLS setup (main.F90:199-214, callbacks
+CalcJacobian m_global.F90:98-158 and CalcResidual m_global.F90:161-235):
+
+  residual  R(du) = J(du) @ du - F_ext - F_coh(aggregate_u + du)
+            with the BC rows overridden (penalty: R_bc = p*du_bc - p*u_bc_step)
+  jacobian  J(du) = K_elastic + K_coh(aggregate_u + du) + BC rows
+
+Note the reference residual multiplies by the *Jacobian* (elastic + cohesive
+tangent), not the plain elastic K (MatMultAdd(Jacobian, du, ...),
+m_global.F90:226). `formulation="reference"` reproduces that;
+`formulation="standard"` uses the textbook incremental residual
+R = K_el @ du - F_ext - F_coh(aggregate_u + du), whose consistent Jacobian is
+the same J. Both share fixed points when K_coh @ du ~ 0 (the shipped decks'
+cohesive elements sit on initially-closed interfaces).
+
+Newton controls mirror SNES defaults: rtol 1e-8 (relative to the first
+residual of each solve), atol 1e-50, stol 1e-8, max 50 iterations, with a
+backtracking line search.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax.numpy as jnp
+
+from fem_tpu.config import Config
+from fem_tpu.models.system import PENALTY, System
+from fem_tpu.solver import direct
+
+
+class NewtonResult(NamedTuple):
+    du: jnp.ndarray
+    iters: int
+    resnorm: float
+    converged: bool
+
+
+def solve_step(
+    system: System,
+    config: Config,
+    aggregate_u,
+    du0,
+    F_ext,
+    bc_mode: str = "penalty",
+):
+    """One nonlinear load increment. du0 is the warm start (the reference
+    never zeroes Vec_U between steps, main.F90:230)."""
+    quirks = config.quirks
+    reference_form = config.formulation == "reference"
+    bc_dofs = system.bc_dofs
+    bc_vals = system.bc_step_vals()
+    n = system.ndof
+    bc_mask = jnp.zeros(n, dtype=bool).at[bc_dofs].set(True)
+    ubc = jnp.zeros(n, dtype=F_ext.dtype).at[bc_dofs].set(bc_vals)
+
+    K_el = system.dense_K()
+
+    def jacobian(du):
+        J = K_el + system.coh_stiffness_dense(aggregate_u + du, quirks)
+        if bc_mode == "penalty":
+            J = J.at[bc_dofs, bc_dofs].set(PENALTY)
+        else:
+            J = jnp.where(bc_mask[:, None] | bc_mask[None, :], 0.0, J)
+            J = J.at[bc_dofs, bc_dofs].set(1.0)
+        return J
+
+    def residual(du, J):
+        # F = F_ext + F_coh, then BC rows inserted, then R = J du - F
+        # (m_global.F90:186-226).
+        F = F_ext + system.coh_force(aggregate_u + du, quirks)
+        if bc_mode == "penalty":
+            F = F.at[bc_dofs].set(PENALTY * bc_vals)
+            mul = J if reference_form else _penalized(K_el, bc_dofs)
+            return mul @ du - F
+        # eliminate: pinned dofs have zero residual by construction
+        mul = J if reference_form else _masked(K_el, bc_mask, bc_dofs)
+        R = mul @ du - F
+        return jnp.where(bc_mask, du - ubc, R)
+
+    def _penalized(K, dofs):
+        return K.at[dofs, dofs].set(PENALTY)
+
+    def _masked(K, mask, dofs):
+        K = jnp.where(mask[:, None] | mask[None, :], 0.0, K)
+        return K.at[dofs, dofs].set(1.0)
+
+    du = du0
+    if bc_mode == "eliminate":
+        du = jnp.where(bc_mask, ubc, du)
+
+    J = jacobian(du)
+    R = residual(du, J)
+    r0 = float(jnp.linalg.norm(R))
+    rnorm = r0
+    tol = max(config.newton_rtol * r0, config.newton_atol)
+
+    iters = 0
+    converged = rnorm <= tol
+    while not converged and iters < config.newton_maxit:
+        delta = _robust_solve(J, -R)
+        # Backtracking line search (SNESNEWTONLS-style sufficient decrease).
+        lam = 1.0
+        best_lam, best_r = None, rnorm
+        for _ in range(20):
+            du_trial = du + lam * delta
+            if bc_mode == "eliminate":
+                du_trial = jnp.where(bc_mask, ubc, du_trial)
+            R_trial = residual(du_trial, J)
+            r_trial = float(jnp.linalg.norm(R_trial))
+            if jnp.isfinite(jnp.asarray(r_trial)) and r_trial < best_r:
+                best_lam, best_r = lam, r_trial
+                if r_trial <= (1.0 - 1e-4 * lam) * rnorm:
+                    break
+            lam *= 0.5
+        if best_lam is None:
+            # Line search failed to find any decrease: stagnation
+            # (SNES would report a line-search failure and stop).
+            break
+        du_new = du + best_lam * delta
+        if bc_mode == "eliminate":
+            du_new = jnp.where(bc_mask, ubc, du_new)
+        step_norm = float(jnp.linalg.norm(du_new - du))
+        du = du_new
+        iters += 1
+        J = jacobian(du)
+        R = residual(du, J)
+        rnorm = float(jnp.linalg.norm(R))
+        if rnorm <= tol:
+            converged = True
+            break
+        if step_norm <= config.newton_stol * max(float(jnp.linalg.norm(du)), 1e-300):
+            converged = True
+            break
+
+    return NewtonResult(du=du, iters=iters, resnorm=rnorm, converged=converged)
+
+
+def _robust_solve(J, rhs):
+    """Dense solve with null-pivot regularization.
+
+    The reference relies on MUMPS null-pivot detection (icntl(24)=1 with
+    cntl(3)=1e-6, main.F90:365-371) so that fully-separated cohesive
+    interfaces — which leave dofs with ~zero stiffness — still factorize.
+    Equivalent here: dofs whose Jacobian row is numerically null are pinned
+    (unit diagonal, zero rhs), i.e. they receive no Newton correction; if the
+    solve still fails, fall back to a least-squares solution.
+    """
+    row_scale = jnp.max(jnp.abs(J), axis=1)
+    ref = jnp.max(row_scale)
+    null = row_scale <= 1e-12 * ref
+    if bool(jnp.any(null)):
+        Jr = jnp.where(null[:, None] | null[None, :], 0.0, J)
+        dofs = jnp.nonzero(null)[0]
+        Jr = Jr.at[dofs, dofs].set(1.0)
+        rhs = jnp.where(null, 0.0, rhs)
+        J = Jr
+    x = direct.solve(J, rhs)
+    if not bool(jnp.all(jnp.isfinite(x))):
+        x = jnp.linalg.lstsq(J, rhs, rcond=None)[0]
+    return x

@@ -1,0 +1,132 @@
+"""Incremental quasi-static time stepping — the driver loop.
+
+Mirrors main.F90:216-296: for interval k = 1,2,..., t_init = dt*(k-1) until
+t_init >= t; each step forms the time-windowed RHS, solves (direct KSP for
+linear decks, Newton/SNES for cohesive decks), accumulates
+aggregate_u += du and aggregate_stress += nodal stress of the increment.
+`stype == "explicit"` is accepted but performs no solve, writing zeros — the
+reference behaves the same (main.F90:199,238; SURVEY.md §2d.6).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from fem_tpu.config import Config
+from fem_tpu.models.problem import Problem
+from fem_tpu.models.system import PENALTY, System
+from fem_tpu.solver import cg, direct, newton
+
+
+@dataclasses.dataclass
+class StepResult:
+    aggregate_u: np.ndarray  # (ndof,)
+    aggregate_stress: np.ndarray  # (nnds, cpdim)
+    du: np.ndarray  # last increment
+    newton_iters: List[int]
+    krylov_iters: List[int]
+    nsteps: int
+
+
+def run(
+    problem: Problem,
+    config: Optional[Config] = None,
+    log: Optional[Callable[[str], None]] = None,
+) -> StepResult:
+    config = config or Config()
+    log = log or (lambda msg: None)
+    dtype = jnp.dtype(config.dtype)
+    system = System(problem, dtype=dtype)
+    n = system.ndof
+
+    solver_kind = config.resolve_solver(n)
+    bc_mode = config.resolve_bc_mode(solver_kind)
+
+    aggregate_u = jnp.zeros(n, dtype=dtype)
+    aggregate_stress = jnp.zeros((system.nnds, system.cpdim), dtype=dtype)
+    du = jnp.zeros(n, dtype=dtype)  # warm start: Vec_U never zeroed
+    newton_iters: List[int] = []
+    krylov_iters: List[int] = []
+
+    nsteps = problem.nsteps
+    nonlinear = problem.has_cohesive
+    explicit = problem.stype == "explicit"
+
+    # Linear path setup: K is constant; factorize/prepare once
+    # (the reference configures the KSP once, main.F90:199-214).
+    fac = None
+    matvec = diag = None
+    if not explicit and not nonlinear:
+        if solver_kind == "direct":
+            K = system.dense_K()
+            if bc_mode == "penalty":
+                K = K.at[system.bc_dofs, system.bc_dofs].set(PENALTY)
+                fac = direct.factorize(K)
+            else:
+                bc_mask = jnp.zeros(n, dtype=bool).at[system.bc_dofs].set(True)
+                Ke = jnp.where(bc_mask[:, None] | bc_mask[None, :], 0.0, K)
+                Ke = Ke.at[system.bc_dofs, system.bc_dofs].set(1.0)
+                fac = direct.factorize(Ke)
+                K_unconstrained = K
+        else:
+            matvec = system.matvec
+            diag = system.diag()
+
+    bc_step_vals = system.bc_step_vals()
+
+    for k in range(1, nsteps + 1):
+        t_init = problem.dt * (k - 1)
+        log(f"Interval: {k}")
+        if explicit:
+            continue
+        F = system.rhs(t_init)
+
+        if nonlinear:
+            res = newton.solve_step(
+                system, config, aggregate_u, du, F, bc_mode=bc_mode
+            )
+            du = res.du
+            newton_iters.append(res.iters)
+            log(f"    SNES Iteration Count: {res.iters}")
+        elif solver_kind == "direct":
+            if bc_mode == "penalty":
+                Fp = F.at[system.bc_dofs].set(PENALTY * bc_step_vals)
+                du = direct.solve_factorized(fac, Fp)
+            else:
+                ubc = jnp.zeros(n, dtype=dtype).at[system.bc_dofs].set(bc_step_vals)
+                Fe = F - K_unconstrained @ ubc
+                bc_mask = jnp.zeros(n, dtype=bool).at[system.bc_dofs].set(True)
+                Fe = jnp.where(bc_mask, ubc, Fe)
+                du = direct.solve_factorized(fac, Fe)
+        else:
+            res = cg.solve_eliminated(
+                matvec,
+                F,
+                diag,
+                system.bc_dofs,
+                bc_step_vals,
+                x0=du,
+                rtol=config.rtol,
+                atol=config.atol,
+                maxiter=config.maxiter,
+            )
+            du = res.x
+            krylov_iters.append(int(res.iters))
+
+        aggregate_u = aggregate_u + du
+        stress_inc = system.stress_increment(du)
+        aggregate_stress = aggregate_stress + stress_inc
+
+    return StepResult(
+        aggregate_u=np.asarray(aggregate_u),
+        aggregate_stress=np.asarray(aggregate_stress),
+        du=np.asarray(du),
+        newton_iters=newton_iters,
+        krylov_iters=krylov_iters,
+        nsteps=nsteps,
+    )
