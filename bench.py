@@ -1,0 +1,118 @@
+"""Headline benchmark: batched hex8 element-stiffness throughput on TPU.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+
+Metric: hex8 element stiffness formation (k_e = sum_ip B^T D B w |J|, 8
+integration points, 24x24 output) in float32 on the attached TPU chip —
+the reference's hottest kernel (FormElKE, m_local.F90:21-67; SURVEY.md §6
+names element-stiffness throughput as the north-star metric).
+
+vs_baseline: the reference publishes no numbers (BASELINE.json
+"published": {}), so the denominator is an explicit estimate of the
+reference's 64-core CPU rate: FormElKE for hex8 does 8 ips of small dense
+matmuls (~21k flops/element plus LAPACK 3x3 inversions); measured
+Fortran-class throughput is ~30k elems/s/core => ~2e6 elems/s on 64 cores.
+Secondary numbers (CG solve wall-clock at ~1M DOF) go to stderr.
+"""
+
+import json
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+REFERENCE_64CORE_ELEMS_PER_SEC = 2.0e6  # documented estimate, see docstring
+
+
+def log(msg):
+    print(msg, file=sys.stderr, flush=True)
+
+
+def bench_element_stiffness(ne=131072, iters=20, dtype=jnp.float32):
+    from fem_tpu.ops import dmat, elements, stiffness
+
+    et = elements.get("hex")
+    rng = np.random.default_rng(0)
+    base = np.array(
+        [
+            [0, 0, 0], [1, 0, 0], [1, 1, 0], [0, 1, 0],
+            [0, 0, 1], [1, 0, 1], [1, 1, 1], [0, 1, 1],
+        ],
+        dtype=np.float32,
+    )
+    offsets = rng.normal(size=(ne, 1, 3)).astype(np.float32)
+    jitter = 0.05 * rng.normal(size=(ne, 8, 3)).astype(np.float32)
+    ecoords = jnp.asarray(base[None] + offsets + jitter, dtype=dtype)
+    D = dmat.dmat3d(jnp.full(ne, 200.0e9, dtype=dtype), jnp.full(ne, 0.3, dtype=dtype))
+
+    f = jax.jit(lambda ec: stiffness.element_stiffness(et, ec, D))
+    out = f(ecoords)
+    jax.block_until_ready(out)  # compile
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = f(ecoords)
+    jax.block_until_ready(out)
+    dt = (time.perf_counter() - t0) / iters
+    return ne / dt, dt
+
+
+def bench_big_solve(dtype=jnp.float32):
+    """Secondary: ~1M-DOF hex8 cantilever, matrix-free Jacobi-PCG."""
+    from fem_tpu.io import meshgen
+    from fem_tpu.models.system import System
+    from fem_tpu.solver import cg
+
+    # 48x48x48 hex grid -> 117649 nodes... use 80x20x20 = 35721 nodes? aim ~1M dof:
+    # (nx+1)(ny+1)(nz+1)*3 ~ 1e6 -> 69^3 ~ 330k nodes; use 68x68x68.
+    nx = ny = nz = 68
+    problem = meshgen.hex_box_problem(nx, ny, nz, lx=10.0)
+    system = System(problem, dtype=dtype)
+    ndof = system.ndof
+    log(f"big solve: {problem.nels} hex8 elements, {ndof} dofs")
+
+    matvec = system.matvec
+    diag = system.diag()
+    F = system.rhs(0.0)
+
+    @jax.jit
+    def solve():
+        return cg.solve_eliminated(
+            matvec, F, diag, system.bc_dofs, system.bc_step_vals(),
+            rtol=1e-8, maxiter=3000,
+        )
+
+    res = solve()
+    jax.block_until_ready(res.x)  # includes compile
+    t0 = time.perf_counter()
+    res = solve()
+    jax.block_until_ready(res.x)
+    dt = time.perf_counter() - t0
+    log(f"big solve: {int(res.iters)} CG iters, residual {float(res.resnorm):.3e}, "
+        f"{dt:.3f}s wall")
+    return dt
+
+
+def main():
+    ne_rate, per_iter = bench_element_stiffness()
+    log(f"hex8 stiffness: {ne_rate:.3e} elems/sec ({per_iter * 1e3:.2f} ms/iter)")
+    try:
+        bench_big_solve()
+    except Exception as e:  # secondary benchmark must not kill the headline
+        log(f"big solve skipped: {e!r}")
+    print(
+        json.dumps(
+            {
+                "metric": "hex8_element_stiffness_throughput",
+                "value": round(ne_rate, 1),
+                "unit": "elems/sec",
+                "vs_baseline": round(ne_rate / REFERENCE_64CORE_ELEMS_PER_SEC, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

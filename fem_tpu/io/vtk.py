@@ -10,11 +10,12 @@ checked-in goldens.
 
 from __future__ import annotations
 
-from typing import List, Sequence, Tuple
+from typing import TYPE_CHECKING, List, Sequence, Tuple
 
 import numpy as np
 
-from fem_tpu.models.problem import Problem
+if TYPE_CHECKING:  # avoid a circular import (models.problem uses io.inp)
+    from fem_tpu.models.problem import Problem
 
 
 def _f0(v: float, decimals: int) -> str:
@@ -75,7 +76,7 @@ def write(
         f.write("\n".join(lines) + "\n")
 
 
-def cells_in_deck_order(problem: Problem) -> List[Tuple[int, np.ndarray]]:
+def cells_in_deck_order(problem: "Problem") -> List[Tuple[int, np.ndarray]]:
     """Rebuild (vtk_id, conn) in original deck element order from the
     type-batched blocks (the reference writes elements in storage order,
     m_io.F90:522-526)."""

@@ -1,0 +1,114 @@
+"""Multi-device tests on the 8-way virtual CPU mesh (conftest.py sets
+xla_force_host_platform_device_count=8): the sharded element-DP operator must
+agree with the single-device reference path, and the full sharded solve must
+match the dense direct solve."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from fem_tpu.config import Config
+from fem_tpu.io import meshgen
+from fem_tpu.models.system import System
+from fem_tpu.parallel import ShardedOperator, make_mesh
+from fem_tpu.parallel.ops import solve_step_sharded
+from fem_tpu.solver import cg, stepper
+
+
+@pytest.fixture(scope="module")
+def grid_system():
+    problem = meshgen.quad_grid_problem(
+        12, 7, E=100.0, nu=0.3, tip_force=(0.0, -1.0)
+    )
+    return problem, System(problem)
+
+
+def test_eight_virtual_devices():
+    assert len(jax.devices()) == 8
+
+
+def test_sharded_matvec_matches_local(grid_system):
+    problem, system = grid_system
+    mesh = make_mesh(8)
+    op = ShardedOperator(system, mesh)
+    rng = np.random.default_rng(0)
+    u = jnp.asarray(rng.normal(size=system.ndof))
+    np.testing.assert_allclose(
+        np.asarray(op.matvec(u)), np.asarray(system.matvec(u)), rtol=1e-12
+    )
+    np.testing.assert_allclose(
+        np.asarray(op.diag()), np.asarray(system.diag()), rtol=1e-12
+    )
+
+
+def test_sharded_solve_matches_direct(grid_system):
+    problem, system = grid_system
+    mesh = make_mesh(8)
+    op = ShardedOperator(system, mesh)
+    du, stress, iters = solve_step_sharded(system, op, 0.0, rtol=1e-12)
+    # dense direct reference
+    result = stepper.run(problem, Config(solver="direct"))
+    np.testing.assert_allclose(
+        np.asarray(du), result.du, atol=1e-9 * np.abs(result.du).max()
+    )
+    np.testing.assert_allclose(
+        np.asarray(stress), result.aggregate_stress,
+        atol=1e-8 * np.abs(result.aggregate_stress).max(),
+    )
+    assert int(iters) > 0
+
+
+def test_sharded_solve_jits(grid_system):
+    problem, system = grid_system
+    mesh = make_mesh(4)
+    op = ShardedOperator(system, mesh)
+
+    @jax.jit
+    def step(t_init):
+        return solve_step_sharded(system, op, t_init, rtol=1e-10)
+
+    du, stress, iters = step(0.0)
+    assert np.isfinite(np.asarray(du)).all()
+
+
+def test_uneven_padding():
+    # 5 elements over 4 devices: padding must not change results.
+    problem = meshgen.quad_grid_problem(5, 1, E=10.0, nu=0.2)
+    system = System(problem)
+    op = ShardedOperator(system, make_mesh(4))
+    u = jnp.asarray(np.random.default_rng(1).normal(size=system.ndof))
+    np.testing.assert_allclose(
+        np.asarray(op.matvec(u)), np.asarray(system.matvec(u)), rtol=1e-12
+    )
+
+
+def test_quad_strip_deck_parses_and_solves():
+    from fem_tpu.models import problem as problem_mod
+
+    text = meshgen.quad_strip_deck(4, 2)
+    problem = problem_mod.load(text)
+    assert problem.nels == 8
+    assert problem.nnds == 15
+    result = stepper.run(problem, Config())
+    u = result.aggregate_u.reshape(-1, 2)
+    # forces push -x on right corner nodes
+    assert u[4, 0] < 0
+    np.testing.assert_allclose(u[0], 0.0, atol=1e-16)
+
+
+def test_hex_cantilever_small():
+    problem = meshgen.hex_box_problem(6, 2, 2, lx=6.0, E=1000.0, nu=0.3,
+                                      tip_load=-1.0)
+    system = System(problem)
+    result = stepper.run(problem, Config(solver="cg", rtol=1e-12))
+    u = result.aggregate_u.reshape(-1, 3)
+    tip = problem.coords[:, 0] == 6.0
+    # tip deflects downward, clamped face stays put
+    assert (u[tip, 2] < 0).all()
+    clamped = problem.coords[:, 0] == 0.0
+    np.testing.assert_allclose(u[clamped], 0.0, atol=1e-16)
+    # beam-theory sanity: tip deflection within 2x of Euler-Bernoulli
+    L, E, I = 6.0, 1000.0, 1.0 * 1.0**3 / 12.0
+    delta_eb = 1.0 * L**3 / (3 * E * I)
+    assert 0.3 * delta_eb < -u[tip, 2].mean() < 2.0 * delta_eb
