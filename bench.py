@@ -46,49 +46,57 @@ def bench_element_stiffness(ne=131072, iters=20, dtype=jnp.float32):
     offsets = rng.normal(size=(ne, 1, 3)).astype(np.float32)
     jitter = 0.05 * rng.normal(size=(ne, 8, 3)).astype(np.float32)
     ecoords = jnp.asarray(base[None] + offsets + jitter, dtype=dtype)
-    D = dmat.dmat3d(jnp.full(ne, 200.0e9, dtype=dtype), jnp.full(ne, 0.3, dtype=dtype))
+    E = jnp.full(ne, 200.0e9, dtype=dtype)
+    nu = jnp.full(ne, 0.3, dtype=dtype)
 
-    f = jax.jit(lambda ec: stiffness.element_stiffness(et, ec, D))
-    out = f(ecoords)
-    jax.block_until_ready(out)  # compile
+    # The scalar reduction forces real execution per call: block_until_ready
+    # does not reliably block through the axon relay.
+    f = jax.jit(
+        lambda ec: jnp.sum(stiffness.element_stiffness_isotropic(et, ec, E, nu))
+    )
+    float(f(ecoords))  # compile + warm
     t0 = time.perf_counter()
     for _ in range(iters):
         out = f(ecoords)
-    jax.block_until_ready(out)
+    float(out)
     dt = (time.perf_counter() - t0) / iters
     return ne / dt, dt
 
 
 def bench_big_solve(dtype=jnp.float32):
-    """Secondary: ~1M-DOF hex8 cantilever, matrix-free Jacobi-PCG."""
+    """Secondary: ~1M-DOF hex8 cantilever, matrix-free Jacobi-PCG.
+
+    The operator is passed as a jit ARGUMENT (registered pytree) — closing
+    over it would embed ~250MB of element data as HLO constants.
+    """
     from fem_tpu.io import meshgen
     from fem_tpu.models.system import System
+    from fem_tpu.ops import operator as op_mod
     from fem_tpu.solver import cg
 
-    # 48x48x48 hex grid -> 117649 nodes... use 80x20x20 = 35721 nodes? aim ~1M dof:
-    # (nx+1)(ny+1)(nz+1)*3 ~ 1e6 -> 69^3 ~ 330k nodes; use 68x68x68.
-    nx = ny = nz = 68
+    nx = ny = nz = 68  # (69^3 nodes) * 3 dofs ~ 985k
     problem = meshgen.hex_box_problem(nx, ny, nz, lx=10.0)
     system = System(problem, dtype=dtype)
-    ndof = system.ndof
-    log(f"big solve: {problem.nels} hex8 elements, {ndof} dofs")
+    log(f"big solve: {problem.nels} hex8 elements, {system.ndof} dofs")
 
-    matvec = system.matvec
-    diag = system.diag()
+    op = op_mod.build(system)
+    dg = op_mod.diag(op)
     F = system.rhs(0.0)
 
     @jax.jit
-    def solve():
+    def solve(op, F, dg, bc_dofs, bc_vals):
         return cg.solve_eliminated(
-            matvec, F, diag, system.bc_dofs, system.bc_step_vals(),
+            lambda v: op_mod.matvec(op, v), F, dg, bc_dofs, bc_vals,
             rtol=1e-8, maxiter=3000,
         )
 
-    res = solve()
-    jax.block_until_ready(res.x)  # includes compile
+    args = (op, F, dg, system.bc_dofs, system.bc_step_vals())
+    res = solve(*args)
+    float(res.resnorm)  # force full execution (block_until_ready is unreliable
+    # through the axon relay)
     t0 = time.perf_counter()
-    res = solve()
-    jax.block_until_ready(res.x)
+    res = solve(*args)
+    float(res.resnorm)
     dt = time.perf_counter() - t0
     log(f"big solve: {int(res.iters)} CG iters, residual {float(res.resnorm):.3e}, "
         f"{dt:.3f}s wall")

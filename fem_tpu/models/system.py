@@ -69,16 +69,13 @@ class System:
                 # coh elements carry no elastic stiffness (their mat is 0 in
                 # the decks -> E=0); skip the kernel entirely instead of
                 # assembling a zero block.
-                entry["ke"] = None
-                entry["D"] = None
+                entry["is_coh"] = True
                 entry["props"] = jnp.asarray(
                     np.vstack([p.coh_props, np.zeros((1, 6))])[b.nlmat],
                     dtype=dtype,
                 )
             else:
-                D = dmat_ops.dmat(E, nu, p.pdim)
-                entry["D"] = D
-                entry["ke"] = stiff_ops.element_stiffness(et, ecoords, D)
+                entry["is_coh"] = False
             self.blocks[name] = entry
 
         # BCs
@@ -102,9 +99,41 @@ class System:
     # ---------------- elastic operator ----------------
 
     def _continuum(self):
-        return [
-            (name, e) for name, e in self.blocks.items() if e["ke"] is not None
-        ]
+        out = []
+        for name, e in self.blocks.items():
+            if e["is_coh"]:
+                continue
+            if "ke" not in e:
+                # Lazy: the fused matvec path never materializes k_e; only the
+                # dense/stored paths pay for it. Uses the isotropic fast
+                # kernel (identical to B^T D B to machine precision).
+                e["ke"] = stiff_ops.element_stiffness_isotropic(
+                    e["et"], e["ecoords"], e["E"], e["nu"]
+                )
+            if "D" not in e:
+                e["D"] = dmat_ops.dmat(e["E"], e["nu"], self.pdim)
+            out.append((name, e))
+        return out
+
+    def fused_operator(self):
+        """The ops.operator.FusedOperator for this system (cached)."""
+        if getattr(self, "_fused_op", None) is None:
+            from fem_tpu.ops import operator as op_mod
+
+            self._fused_op = op_mod.build(self)
+        return self._fused_op
+
+    def matvec_fused(self, u):
+        """K @ u without storing k_e — delegates to ops.operator (sorted
+        segment-sum scatter; deterministic reduction order, SURVEY.md §7)."""
+        from fem_tpu.ops import operator as op_mod
+
+        return op_mod.matvec(self.fused_operator(), u)
+
+    def diag_fused(self):
+        from fem_tpu.ops import operator as op_mod
+
+        return op_mod.diag(self.fused_operator())
 
     def dense_K(self):
         """Assembled elastic stiffness, no BCs (main.F90:157-168 equivalent).

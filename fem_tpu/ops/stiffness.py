@@ -84,6 +84,72 @@ def element_stiffness(et: ElementType, ecoords, D):
     return jnp.einsum("eica,ecd,eidb,ei->eab", B, D, B, scale)
 
 
+def lame(E, nu):
+    """Lame parameters from (E, nu)."""
+    lam = E * nu / ((1.0 + nu) * (1.0 - 2.0 * nu))
+    mu = E / (2.0 * (1.0 + nu))
+    return lam, mu
+
+
+def element_stiffness_isotropic(et: ElementType, ecoords, E, nu):
+    """Fast-path element stiffness for isotropic elasticity.
+
+    Algebraically identical to element_stiffness with D = dmat(E, nu) (3D or
+    plane strain), but factorized through the gradient-correlation tensor
+      H[p,a,q,b] = sum_ip w detJ dNx[ip,p,a] dNx[ip,q,b]
+      ke[(a,p),(b,q)] = lam H[p,a,q,b] + mu H[q,a,p,b]
+                        + mu delta_pq sum_k H[k,a,k,b]
+    which avoids forming B and D entirely: ~17x fewer flops for hex8 (the
+    B^T D B route contracts through the sparse (cpdim x ndof) B matrix whose
+    zeros the dense einsum still multiplies). E, nu are per-element (ne,).
+    Returns (ne, ndof, ndof).
+    """
+    dNx, detj = grad_and_detj(et, ecoords)  # (ne, nip, pdim, nn)
+    w = jnp.asarray(et.weights, dtype=ecoords.dtype)
+    s = detj * w[None, :]
+    H = jnp.einsum("ei,eipa,eiqb->epaqb", s, dNx, dNx)
+    lam, mu = lame(E, nu)
+    lam = lam[:, None, None, None, None]
+    mu_b = mu[:, None, None, None, None]
+    term = lam * H + mu_b * jnp.swapaxes(H, 1, 3)  # H[q,a,p,b]
+    ke = jnp.transpose(term, (0, 2, 1, 4, 3))  # (ne, a, p, b, q)
+    trace = jnp.einsum("ekakb->eab", H)
+    eye = jnp.eye(et.pdim, dtype=ecoords.dtype)
+    ke = ke + mu[:, None, None, None, None] * (
+        trace[:, :, None, :, None] * eye[None, None, :, None, :]
+    )
+    ne = ecoords.shape[0]
+    return ke.reshape(ne, et.ndof, et.ndof)
+
+
+def internal_force_isotropic(et, dNx, scale, lam, mu, ue):
+    """Fused matrix-free internal force: f_e = sum_ip B^T sigma(B u_e) w detJ
+    without forming B, D, or k_e — the hot CG matvec kernel.
+
+    Args:
+      et: unused (kept for call-site symmetry; shapes come from dNx)
+      dNx:   (ne, nip, pdim, nn) precomputed spatial gradients
+      scale: (ne, nip) w * detJ
+      lam, mu: (ne,) Lame parameters
+      ue:    (ne, nn*pdim) element displacements (interleaved dofs)
+    Returns (ne, nn*pdim).
+    """
+    del et
+    ne, _, pdim, nn = dNx.shape
+    u_nodes = ue.reshape(ne, nn, pdim)
+    # displacement gradient g[p,q] = d u_q / d x_p at each ip
+    g = jnp.einsum("eipa,eaq->eipq", dNx, u_nodes)
+    trace = jnp.trace(g, axis1=-2, axis2=-1)
+    sym = g + jnp.swapaxes(g, -1, -2)
+    eye = jnp.eye(pdim, dtype=ue.dtype)
+    sigma = (
+        lam[:, None, None, None] * trace[..., None, None] * eye
+        + mu[:, None, None, None] * sym
+    )
+    f = jnp.einsum("ei,eipa,eipq->eaq", scale, dNx, sigma)
+    return f.reshape(ne, nn * pdim)
+
+
 def element_stress(et: ElementType, ecoords, ue, D):
     """Batched integration-point stress: eps = B u_e, sigma = D eps.
 

@@ -54,65 +54,131 @@ class ShardedOperator:
       - use `matvec` inside jit; CG vector algebra stays replicated.
     """
 
-    def __init__(self, system: System, mesh: Optional[Mesh] = None):
+    def __init__(self, system: System, mesh: Optional[Mesh] = None,
+                 mode: str = "fused"):
+        """mode="fused" shards (dNx, scale, lam, mu) per element and runs the
+        fused isotropic internal-force kernel (3x less element data than
+        stored k_e, fewer flops); mode="ke" shards the precomputed k_e."""
         self.system = system
         self.mesh = mesh or make_mesh()
         self.axis = self.mesh.axis_names[0]
+        self.mode = mode
         nd = self.mesh.devices.size
         self.ndof = system.ndof
 
         elem_sharding = NamedSharding(self.mesh, P(self.axis))
-        self.blocks = []
-        for name, e in system.blocks.items():
-            if e["ke"] is None:
-                continue
-            ke = _pad_to_multiple(e["ke"], nd)
-            edofs = _pad_to_multiple(e["edofs"], nd)
-            ke = jax.device_put(ke, elem_sharding)
-            edofs = jax.device_put(edofs, elem_sharding)
-            self.blocks.append((name, ke, edofs))
+
+        def shard(a):
+            return jax.device_put(_pad_to_multiple(a, nd), elem_sharding)
 
         axis = self.axis
         mesh = self.mesh
         ndof = self.ndof
+        self.blocks = []
+        self._mv_fns = []
+        self._diag_fns = []
+        if mode == "ke":
+            for name, e in system._continuum():
+                self.blocks.append((shard(e["ke"]), shard(e["edofs"])))
 
-        def local_mv(ke, edofs, u):
-            ue = u[edofs]
-            fe = jnp.einsum("eab,eb->ea", ke, ue)
-            out = jnp.zeros(ndof, dtype=u.dtype)
-            out = out.at[edofs.reshape(-1)].add(fe.reshape(-1))
-            return jax.lax.psum(out, axis)
+            def local_mv(ke, edofs, u):
+                fe = jnp.einsum("eab,eb->ea", ke, u[edofs])
+                out = jnp.zeros(ndof, dtype=u.dtype)
+                out = out.at[edofs.reshape(-1)].add(fe.reshape(-1))
+                return jax.lax.psum(out, axis)
 
-        self._block_mv = shard_map(
-            local_mv,
-            mesh=mesh,
-            in_specs=(P(axis), P(axis), P()),
-            out_specs=P(),
-        )
+            def local_diag(ke, edofs):
+                d = jnp.diagonal(ke, axis1=1, axis2=2)
+                out = jnp.zeros(ndof, dtype=ke.dtype)
+                out = out.at[edofs.reshape(-1)].add(d.reshape(-1))
+                return jax.lax.psum(out, axis)
 
-        def local_diag(ke, edofs):
-            d = jnp.diagonal(ke, axis1=1, axis2=2)
-            out = jnp.zeros(ndof, dtype=ke.dtype)
-            out = out.at[edofs.reshape(-1)].add(d.reshape(-1))
-            return jax.lax.psum(out, axis)
+            self._mv = shard_map(local_mv, mesh=mesh,
+                                 in_specs=(P(axis), P(axis), P()),
+                                 out_specs=P())
+            self._dg = shard_map(local_diag, mesh=mesh,
+                                 in_specs=(P(axis), P(axis)),
+                                 out_specs=P())
+        else:
+            from fem_tpu.ops import operator as op_mod
 
-        self._block_diag = shard_map(
-            local_diag,
-            mesh=mesh,
-            in_specs=(P(axis), P(axis)),
-            out_specs=P(),
-        )
+            # Shard the element-batch-LAST fused blocks along their last axis.
+            def shard_last(a):
+                ne = a.shape[-1]
+                pad = (-ne) % nd
+                if pad:
+                    widths = [(0, 0)] * (a.ndim - 1) + [(0, pad)]
+                    a = jnp.pad(a, widths)
+                spec = P(*([None] * (a.ndim - 1) + [self.axis]))
+                return jax.device_put(a, NamedSharding(self.mesh, spec))
+
+            full_op = system.fused_operator()
+            for b in full_op.blocks:
+                self.blocks.append(
+                    op_mod.FusedBlock(
+                        edofs_t=shard_last(b.edofs_t),
+                        dNx=shard_last(b.dNx),
+                        scale=shard_last(b.scale),
+                        lam=shard_last(b.lam),
+                        mu=shard_last(b.mu),
+                    )
+                )
+
+            def local_mv(b, u):
+                fe = op_mod.block_force(b, u)
+                out = jnp.zeros(ndof, dtype=u.dtype)
+                out = out.at[b.edofs_t.reshape(-1)].add(fe.reshape(-1))
+                return jax.lax.psum(out, axis)
+
+            def local_diag(b):
+                hd = jnp.einsum("ie,ipae,ipae->pae", b.scale, b.dNx, b.dNx)
+                tot = jnp.sum(hd, axis=0)
+                dv = (
+                    (b.lam + b.mu)[None, None, :] * jnp.swapaxes(hd, 0, 1)
+                    + b.mu[None, None, :] * tot[:, None, :]
+                )
+                out = jnp.zeros(ndof, dtype=b.dNx.dtype)
+                out = out.at[b.edofs_t.reshape(-1)].add(dv.reshape(-1))
+                return jax.lax.psum(out, axis)
+
+            def block_spec(b):
+                return op_mod.FusedBlock(
+                    edofs_t=P(None, axis),
+                    dNx=P(None, None, None, axis),
+                    scale=P(None, axis),
+                    lam=P(axis),
+                    mu=P(axis),
+                )
+
+            self._mv_fns = [
+                shard_map(local_mv, mesh=mesh,
+                          in_specs=(block_spec(b), P()), out_specs=P())
+                for b in self.blocks
+            ]
+            self._diag_fns = [
+                shard_map(local_diag, mesh=mesh,
+                          in_specs=(block_spec(b),), out_specs=P())
+                for b in self.blocks
+            ]
 
     def matvec(self, u):
         out = jnp.zeros(self.ndof, dtype=u.dtype)
-        for _, ke, edofs in self.blocks:
-            out = out + self._block_mv(ke, edofs, u)
+        if self.mode == "ke":
+            for ke, edofs in self.blocks:
+                out = out + self._mv(ke, edofs, u)
+        else:
+            for fn, b in zip(self._mv_fns, self.blocks):
+                out = out + fn(b, u)
         return out
 
     def diag(self):
         d = jnp.zeros(self.ndof, dtype=self.system.dtype)
-        for _, ke, edofs in self.blocks:
-            d = d + self._block_diag(ke, edofs)
+        if self.mode == "ke":
+            for ke, edofs in self.blocks:
+                d = d + self._dg(ke, edofs)
+        else:
+            for fn, b in zip(self._diag_fns, self.blocks):
+                d = d + fn(b)
         return d
 
 

@@ -74,8 +74,18 @@ def run(
                 fac = direct.factorize(Ke)
                 K_unconstrained = K
         else:
-            matvec = system.matvec
-            diag = system.diag()
+            from fem_tpu.ops import operator as op_mod
+
+            op = op_mod.build(system)
+            diag = op_mod.diag(op)
+            rtol, atol, maxiter = config.rtol, config.atol, config.maxiter
+
+            @jax.jit
+            def _cg_solve(op, F, dg, bc_dofs, bc_vals, x0):
+                return cg.solve_eliminated(
+                    lambda v: op_mod.matvec(op, v), F, dg, bc_dofs, bc_vals,
+                    x0=x0, rtol=rtol, atol=atol, maxiter=maxiter,
+                )
 
     bc_step_vals = system.bc_step_vals()
 
@@ -104,17 +114,7 @@ def run(
                 Fe = jnp.where(bc_mask, ubc, Fe)
                 du = direct.solve_factorized(fac, Fe)
         else:
-            res = cg.solve_eliminated(
-                matvec,
-                F,
-                diag,
-                system.bc_dofs,
-                bc_step_vals,
-                x0=du,
-                rtol=config.rtol,
-                atol=config.atol,
-                maxiter=config.maxiter,
-            )
+            res = _cg_solve(op, F, diag, system.bc_dofs, bc_step_vals, du)
             du = res.x
             krylov_iters.append(int(res.iters))
 
