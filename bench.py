@@ -63,43 +63,54 @@ def bench_element_stiffness(ne=131072, iters=20, dtype=jnp.float32):
     return ne / dt, dt
 
 
-def bench_big_solve(dtype=jnp.float32):
-    """Secondary: ~1M-DOF hex8 cantilever, matrix-free Jacobi-PCG.
+def bench_big_solve():
+    """Secondary: ~1M-DOF hex8 cube, stencil operator + mixed-precision
+    iterative refinement to 1e-9 relative residual (f64 outer, f32 inner).
 
-    The operator is passed as a jit ARGUMENT (registered pytree) — closing
-    over it would embed ~250MB of element data as HLO constants.
+    Uses the structured-grid stencil operator (ops/structured.py): contiguous
+    slice gather/scatter + one large MXU matmul per matvec — no irregular
+    gathers (which are slow and can wedge the TPU runtime). The reference
+    solves the same class of problem with MUMPS' distributed f64 LU.
     """
+    import numpy as np
+
     from fem_tpu.io import meshgen
     from fem_tpu.models.system import System
-    from fem_tpu.ops import operator as op_mod
-    from fem_tpu.solver import cg
+    from fem_tpu.ops import structured
+    from fem_tpu.ops.stiffness import lame
+    from fem_tpu.solver import mixed
 
-    nx = ny = nz = 68  # (69^3 nodes) * 3 dofs ~ 985k
-    problem = meshgen.hex_box_problem(nx, ny, nz, lx=10.0)
-    system = System(problem, dtype=dtype)
+    n = 68  # (69^3 nodes) * 3 dofs ~ 985k
+    problem = meshgen.hex_box_problem(n, n, n, lx=1.0, ly=1.0, lz=1.0,
+                                      E=200e9, nu=0.3, tip_load=-1e6)
+    system = System(problem, dtype=jnp.float64)
     log(f"big solve: {problem.nels} hex8 elements, {system.ndof} dofs")
 
-    op = op_mod.build(system)
-    dg = op_mod.diag(op)
+    lam, mu = lame(jnp.asarray(200e9), jnp.asarray(0.3))
+    op64 = structured.build((1.0 / n,) * 3, (n + 1,) * 3, lam, mu)
+    op32 = op64.astype(jnp.float32)
+    dg32 = structured.diag(op32)
     F = system.rhs(0.0)
 
-    @jax.jit
-    def solve(op, F, dg, bc_dofs, bc_vals):
-        return cg.solve_eliminated(
-            lambda v: op_mod.matvec(op, v), F, dg, bc_dofs, bc_vals,
-            rtol=1e-8, maxiter=3000,
+    solve = jax.jit(
+        lambda *a: mixed.ir_solve(
+            *a, rtol=1e-9, inner_rtol=1e-5, inner_maxiter=5000,
+            outer_maxiter=10, apply=structured.matvec,
         )
-
-    args = (op, F, dg, system.bc_dofs, system.bc_step_vals())
+    )
+    args = (op64, op32, F, dg32, system.bc_dofs, system.bc_step_vals())
     res = solve(*args)
-    float(res.resnorm)  # force full execution (block_until_ready is unreliable
-    # through the axon relay)
+    float(res.resnorm)  # force full execution (block_until_ready is
+    # unreliable through the axon relay)
     t0 = time.perf_counter()
     res = solve(*args)
-    float(res.resnorm)
+    rn = float(res.resnorm)
     dt = time.perf_counter() - t0
-    log(f"big solve: {int(res.iters)} CG iters, residual {float(res.resnorm):.3e}, "
-        f"{dt:.3f}s wall")
+    bn = float(jnp.linalg.norm(F))
+    log(
+        f"big solve: outer={int(res.outer_iters)} inner={int(res.inner_iters)}"
+        f" rel_res={rn / bn:.2e}, {dt:.3f}s wall"
+    )
     return dt
 
 

@@ -1,0 +1,160 @@
+"""Structured-grid (stencil) elastic operator: no gathers, pure MXU + shifts.
+
+On TPU, irregular gather/scatter over millions of indices is the bottleneck
+of unstructured matrix-free FEM (and can wedge the TPU runtime). For meshes
+that ARE structured boxes — including the ~1M-DOF hex8 benchmark geometry
+from BASELINE.md — the element gather is 8 contiguous array slices, the
+scatter-add is 8 contiguous `.at[slice].add`s, and because every element
+shares the same Jacobian the element kernel collapses to ONE large matmul:
+
+    f_e = k_ref @ u_e   for all elements at once:
+    (ne, 24) @ (24, 24) — ne in the MXU M dimension.
+
+Heterogeneous isotropic materials are supported through the linearity of k_e
+in the Lame parameters: k_e = lam_e K_lam + mu_e K_mu, two matmuls plus
+elementwise scaling by the (lam, mu) fields.
+
+This is the TPU answer to "METIS partitioning quality matters" (SURVEY.md
+§2b): for structured problems, partitioning disappears entirely — the grid
+shards along its leading axis and the only communication is a halo exchange
+(here: psum of boundary planes when sharded).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from fem_tpu.ops import elements as element_lib
+from fem_tpu.ops import stiffness as stiff_ops
+
+# Grid-index corner offsets matching the element node ordering of
+# meshgen's builders. 3D: hex_box_problem numbers nodes (i,j,k)=(x,y,z)
+# fastest-z, and the hex8 node order is bottom face CCW then top face —
+# grid offsets equal coordinate offsets. 2D: quad_grid_problem numbers
+# nodes y-major (row=y, col=x), so grid offsets are (dy, dx) while the
+# element corners stay (x, y)-ordered.
+_HEX_OFFSETS = (
+    (0, 0, 0), (1, 0, 0), (1, 1, 0), (0, 1, 0),
+    (0, 0, 1), (1, 0, 1), (1, 1, 1), (0, 1, 1),
+)
+_HEX_CORNERS = _HEX_OFFSETS
+_QUAD_OFFSETS = ((0, 0), (0, 1), (1, 1), (1, 0))  # (dy, dx) per node 1..4
+_QUAD_CORNERS = ((0, 0), (1, 0), (1, 1), (0, 1))  # (x, y) per node 1..4
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class StencilOperator:
+    """Uniform-geometry box-grid elastic operator.
+
+    k_lam/k_mu: (ndof_e, ndof_e) reference stiffness split by Lame parameter.
+    lam/mu: scalar () arrays, or (*cells,) fields for heterogeneous material.
+    shape: node-grid shape (nnx[, nny[, nnz]]) — static metadata.
+    """
+
+    k_lam: jax.Array
+    k_mu: jax.Array
+    lam: jax.Array
+    mu: jax.Array
+    shape: Tuple[int, ...] = dataclasses.field(metadata=dict(static=True))
+
+    @property
+    def pdim(self) -> int:
+        return len(self.shape)
+
+    @property
+    def ndof(self) -> int:
+        return int(np.prod(self.shape)) * self.pdim
+
+    @property
+    def offsets(self):
+        return _HEX_OFFSETS if self.pdim == 3 else _QUAD_OFFSETS
+
+    def astype(self, dtype):
+        return StencilOperator(
+            k_lam=self.k_lam.astype(dtype),
+            k_mu=self.k_mu.astype(dtype),
+            lam=self.lam.astype(dtype),
+            mu=self.mu.astype(dtype),
+            shape=self.shape,
+        )
+
+
+def build(cell_sizes, node_shape, lam, mu, dtype=jnp.float64) -> StencilOperator:
+    """cell_sizes: element edge lengths (dx[, dy[, dz]]); node_shape: node
+    counts per axis; lam/mu: scalars or per-cell fields."""
+    pdim = len(node_shape)
+    et = element_lib.get("hex" if pdim == 3 else "qua")
+    # reference element coordinates (x, y[, z]) scaled by the cell size
+    corners = np.array(_HEX_CORNERS if pdim == 3 else _QUAD_CORNERS, dtype=float)
+    ecoords = jnp.asarray(corners * np.asarray(cell_sizes), dtype=dtype)[None]
+    one = jnp.ones(1, dtype=dtype)
+    zero = jnp.zeros(1, dtype=dtype)
+    k_lam = stiff_ops.element_stiffness_lame(et, ecoords, one, zero)[0]
+    k_mu = stiff_ops.element_stiffness_lame(et, ecoords, zero, one)[0]
+    return StencilOperator(
+        k_lam=k_lam,
+        k_mu=k_mu,
+        lam=jnp.asarray(lam, dtype=dtype),
+        mu=jnp.asarray(mu, dtype=dtype),
+        shape=tuple(int(n) for n in node_shape),
+    )
+
+
+def _corner_slices(shape, off):
+    """Slice of the node grid selecting each element's `off` corner."""
+    return tuple(slice(o, o + n - 1) for o, n in zip(off, shape))
+
+
+def matvec(op: StencilOperator, u):
+    """K @ u via 8 (or 4) shifted slices + one or two big matmuls."""
+    pdim = op.pdim
+    shape = op.shape
+    nodes = u.reshape(*shape, pdim)
+    ue = jnp.stack(
+        [nodes[_corner_slices(shape, off)] for off in op.offsets], axis=-2
+    )  # (*cells, nn, pdim)
+    cells = ue.shape[:pdim]
+    ndof_e = len(op.offsets) * pdim
+    ue_flat = ue.reshape(-1, ndof_e)
+    if op.lam.ndim == 0:
+        k_ref = op.lam * op.k_lam + op.mu * op.k_mu
+        fe = ue_flat @ k_ref.T
+    else:
+        f_lam = ue_flat @ op.k_lam.T
+        f_mu = ue_flat @ op.k_mu.T
+        fe = (
+            op.lam.reshape(-1, 1) * f_lam + op.mu.reshape(-1, 1) * f_mu
+        )
+    fe = fe.reshape(*cells, len(op.offsets), pdim)
+    out = jnp.zeros_like(nodes)
+    for c, off in enumerate(op.offsets):
+        out = out.at[_corner_slices(shape, off)].add(fe[..., c, :])
+    return out.reshape(-1)
+
+
+def diag(op: StencilOperator):
+    """Diagonal of K via the same slice-scatter with k_ref's diagonal."""
+    pdim = op.pdim
+    shape = op.shape
+    nn = len(op.offsets)
+    if op.lam.ndim == 0:
+        k_ref = op.lam * op.k_lam + op.mu * op.k_mu
+        dref = jnp.diag(k_ref).reshape(nn, pdim)
+        cells = tuple(n - 1 for n in shape)
+        dcell = jnp.broadcast_to(dref, (*cells, nn, pdim))
+    else:
+        d_lam = jnp.diag(op.k_lam).reshape(nn, pdim)
+        d_mu = jnp.diag(op.k_mu).reshape(nn, pdim)
+        dcell = (
+            op.lam[..., None, None] * d_lam + op.mu[..., None, None] * d_mu
+        )
+    out = jnp.zeros((*shape, pdim), dtype=op.k_lam.dtype)
+    for c, off in enumerate(op.offsets):
+        out = out.at[_corner_slices(shape, off)].add(dcell[..., c, :])
+    return out.reshape(-1)

@@ -33,8 +33,8 @@ class IRResult(NamedTuple):
 
 
 def ir_solve(
-    op64: op_mod.FusedOperator,
-    op32: op_mod.FusedOperator,
+    op64,
+    op32,
     F,
     diag32,
     bc_dofs,
@@ -44,22 +44,23 @@ def ir_solve(
     inner_rtol: float = 1e-4,
     inner_maxiter: int = 2000,
     outer_maxiter: int = 40,
+    apply=op_mod.matvec,
 ) -> IRResult:
     """Solve K x = F with eliminated Dirichlet BCs to f64 accuracy.
 
-    op64/op32: the same operator in both precisions (op64.astype(f32) works).
-    F: f64 load vector. diag32: f32 Jacobi diagonal (bc rows anything).
+    op64/op32: the same operator in both precisions (FusedOperator.astype or
+    any pytree accepted by `apply`). `apply(op, v)` is the raw K @ v — pass
+    ops.structured.matvec for the stencil operator. F: f64 load vector.
+    diag32: f32 Jacobi diagonal (bc rows arbitrary).
     """
     n = op64.ndof
     bc_mask = jnp.zeros(n, dtype=bool).at[bc_dofs].set(True)
     ubc = jnp.zeros(n, dtype=F.dtype).at[bc_dofs].set(bc_vals)
 
-    A64 = cg.masked_operator(lambda v: op_mod.matvec(op64, v), bc_mask)
-    b = cg.constrained_rhs(lambda v: op_mod.matvec(op64, v), F, bc_mask, ubc)
+    A64 = cg.masked_operator(lambda v: apply(op64, v), bc_mask)
+    b = cg.constrained_rhs(lambda v: apply(op64, v), F, bc_mask, ubc)
 
-    A32 = cg.masked_operator(
-        lambda v: op_mod.matvec(op32, v), bc_mask
-    )
+    A32 = cg.masked_operator(lambda v: apply(op32, v), bc_mask)
     d32 = jnp.where(bc_mask, 1.0, diag32).astype(jnp.float32)
 
     bnorm = jnp.linalg.norm(b)
