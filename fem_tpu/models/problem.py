@@ -120,40 +120,111 @@ class Problem:
             )
 
         if validate:
-            _validate_mesh(deck, blocks)
+            _validate_mesh(deck.coords, blocks)
 
-        # BC dof table: last write wins per dof (Insert_Values semantics).
-        bc_map: Dict[int, float] = {}
-        for i in range(deck.bc_node.shape[0]):
-            node = int(deck.bc_node[i])
-            for j in range(pdim):
-                if deck.bc_flags[i, j] == 0:  # BC_PRESENT (m_global.F90:14)
-                    bc_map[node * pdim + j] = float(deck.bc_vals[i, j])
-        bc_dofs = np.array(sorted(bc_map), dtype=np.int32)
-        bc_vals = np.array([bc_map[d] for d in bc_dofs.tolist()])
+        def elem_lookup(eid: int):
+            el = deck.elements[eid]
+            return el.eltype, el.nodes
 
-        # Forces -> dof ids.
-        nfrcs = deck.force_node.shape[0]
+        return cls._assemble(
+            stype=deck.stype, pdim=pdim, t=deck.t, dt=deck.dt,
+            coords=deck.coords, blocks=blocks, mats=deck.mats,
+            coh_laws=deck.coh_laws, coh_props=deck.coh_props,
+            bc_node=deck.bc_node, bc_flags=deck.bc_flags,
+            bc_vals_in=deck.bc_vals,
+            force_node=deck.force_node, force_vec=deck.force_vec,
+            force_t1=deck.force_t1, force_t2=deck.force_t2,
+            trac_el=deck.trac_el, trac_side=deck.trac_side,
+            trac_vec=deck.trac_vec, trac_t1=deck.trac_t1,
+            trac_t2=deck.trac_t2, nodal_bw=deck.nodal_bw,
+            elem_lookup=elem_lookup,
+        )
+
+    @classmethod
+    def from_flat(cls, f: dict, validate: bool = True) -> "Problem":
+        """Build from the native engine's flat arrays (io.native.parse_flat)
+        without constructing per-element Python objects."""
+        pdim = f["pdim"]
+        etypes = f["elem_type"]
+        conn = f["elem_conn"]
+        blocks: Dict[str, Block] = {}
+        from fem_tpu.ops.elements import TYPE_ORDER
+
+        for code, name in enumerate(TYPE_ORDER):
+            mask = etypes == code
+            if not mask.any():
+                continue
+            et = element_lib.get(name)
+            blocks[name] = Block(
+                eltype=name,
+                conn=np.ascontiguousarray(conn[mask][:, : et.nnodes]),
+                mat=f["elem_mat"][mask],
+                nlmat=f["elem_nlmat"][mask],
+                eids=np.nonzero(mask)[0].astype(np.int32),
+            )
+        if validate:
+            _validate_mesh(f["coords"], blocks)
+
+        def elem_lookup(eid: int):
+            name = TYPE_ORDER[int(etypes[eid])]
+            et = element_lib.get(name)
+            return name, conn[eid, : et.nnodes]
+
+        return cls._assemble(
+            stype=f["stype"], pdim=pdim, t=f["t"], dt=f["dt"],
+            coords=f["coords"], blocks=blocks, mats=f["mats"],
+            coh_laws=f["coh_laws"], coh_props=f["coh_props"],
+            bc_node=f["bc_node"], bc_flags=f["bc_flags"],
+            bc_vals_in=f["bc_vals"],
+            force_node=f["force_node"], force_vec=f["force_vec"],
+            force_t1=f["force_t1"], force_t2=f["force_t2"],
+            trac_el=f["trac_el"], trac_side=f["trac_side"],
+            trac_vec=f["trac_vec"], trac_t1=f["trac_t1"],
+            trac_t2=f["trac_t2"], nodal_bw=f["nodal_bw"],
+            elem_lookup=elem_lookup,
+        )
+
+    @classmethod
+    def _assemble(cls, *, stype, pdim, t, dt, coords, blocks, mats, coh_laws,
+                  coh_props, bc_node, bc_flags, bc_vals_in, force_node,
+                  force_vec, force_t1, force_t2, trac_el, trac_side, trac_vec,
+                  trac_t1, trac_t2, nodal_bw, elem_lookup) -> "Problem":
+        # BC dof table, vectorized, last write wins per dof (the reference
+        # INSERTs per bc record: m_global.F90:296,451).
+        constrained = bc_flags == 0  # BC_PRESENT
+        rec, comp = np.nonzero(constrained)
+        dofs = bc_node[rec].astype(np.int64) * pdim + comp
+        vals = bc_vals_in[rec, comp]
+        if dofs.size:
+            uniq, inv = np.unique(dofs, return_inverse=True)
+            last = np.full(uniq.shape[0], -1)
+            np.maximum.at(last, inv, np.arange(dofs.shape[0]))
+            bc_dofs = uniq.astype(np.int32)
+            bc_vals = vals[last]
+        else:
+            bc_dofs = np.zeros(0, dtype=np.int32)
+            bc_vals = np.zeros(0)
+
         force_dofs = (
-            deck.force_node[:, None].astype(np.int64) * pdim
+            force_node[:, None].astype(np.int64) * pdim
             + np.arange(pdim)[None, :]
         ).astype(np.int32)
 
-        # Tractions -> static nodal-force form.
-        ntrcs = deck.trac_el.shape[0]
+        # Tractions -> static nodal-force form (ApplyTraction converts a side
+        # traction to equal nodal forces vvec*area/nps, m_global.F90:343-368).
+        ntrcs = trac_el.shape[0]
         if ntrcs:
-            eid_to_el = {i: e for i, e in enumerate(deck.elements)}
-            nps0 = element_lib.get(deck.elements[int(deck.trac_el[0])].eltype).nps
+            name0, _ = elem_lookup(int(trac_el[0]))
+            nps0 = element_lib.get(name0).nps
             trac_dofs = np.zeros((ntrcs, nps0, pdim), dtype=np.int32)
             trac_nodal = np.zeros((ntrcs, pdim))
             for i in range(ntrcs):
-                el = eid_to_el[int(deck.trac_el[i])]
-                et = element_lib.get(el.eltype)
-                side = int(deck.trac_side[i]) - 1
-                snodes = el.nodes[et.sides[side]]
-                pts = deck.coords[snodes]
-                area = _side_area(pts)
-                trac_nodal[i] = deck.trac_vec[i] * area / et.nps
+                name, nodes = elem_lookup(int(trac_el[i]))
+                et = element_lib.get(name)
+                side = int(trac_side[i]) - 1
+                snodes = nodes[et.sides[side]]
+                area = _side_area(coords[snodes])
+                trac_nodal[i] = trac_vec[i] * area / et.nps
                 trac_dofs[i] = (
                     snodes[:, None].astype(np.int64) * pdim
                     + np.arange(pdim)[None, :]
@@ -163,26 +234,12 @@ class Problem:
             trac_nodal = np.zeros((0, pdim))
 
         return cls(
-            stype=deck.stype,
-            pdim=pdim,
-            t=deck.t,
-            dt=deck.dt,
-            coords=deck.coords,
-            blocks=blocks,
-            mats=deck.mats,
-            coh_laws=deck.coh_laws,
-            coh_props=deck.coh_props,
-            bc_dofs=bc_dofs,
-            bc_vals=bc_vals,
-            force_dofs=force_dofs,
-            force_vec=deck.force_vec,
-            force_t1=deck.force_t1,
-            force_t2=deck.force_t2,
-            trac_dofs=trac_dofs,
-            trac_nodal_vec=trac_nodal,
-            trac_t1=deck.trac_t1,
-            trac_t2=deck.trac_t2,
-            nodal_bw=deck.nodal_bw,
+            stype=stype, pdim=pdim, t=t, dt=dt, coords=coords, blocks=blocks,
+            mats=mats, coh_laws=coh_laws, coh_props=coh_props,
+            bc_dofs=bc_dofs, bc_vals=bc_vals, force_dofs=force_dofs,
+            force_vec=force_vec, force_t1=force_t1, force_t2=force_t2,
+            trac_dofs=trac_dofs, trac_nodal_vec=trac_nodal,
+            trac_t1=trac_t1, trac_t2=trac_t2, nodal_bw=nodal_bw,
         )
 
 
@@ -202,13 +259,13 @@ def _side_area(pts: np.ndarray) -> float:
     raise ValueError(f"unsupported side node count {n}")
 
 
-def _validate_mesh(deck: inp.Deck, blocks: Dict[str, Block]) -> None:
+def _validate_mesh(coords: np.ndarray, blocks: Dict[str, Block]) -> None:
     """Fail fast on out-of-range ids; warn on inverted/degenerate continuum
     elements (which the reference lets through silently, producing
     negative-definite or NaN stiffness)."""
     import warnings
 
-    nnds = deck.nnds
+    nnds = coords.shape[0]
     for b in blocks.values():
         if b.conn.min() < 0 or b.conn.max() >= nnds:
             raise ValueError(
@@ -217,7 +274,7 @@ def _validate_mesh(deck: inp.Deck, blocks: Dict[str, Block]) -> None:
         if b.eltype == "coh":
             continue
         et = b.et
-        ecoords = deck.coords[b.conn]  # (ne, nn, pdim)
+        ecoords = coords[b.conn]  # (ne, nn, pdim)
         dN = et.dN  # (nip, pdim, nn)
         jac = np.einsum("ipn,end->eipd", dN, ecoords)
         detj = np.linalg.det(jac)
@@ -230,6 +287,19 @@ def _validate_mesh(deck: inp.Deck, blocks: Dict[str, Block]) -> None:
             )
 
 
-def load(path_or_text) -> Problem:
-    """Parse a deck and build the Problem in one call."""
+def load(path_or_text, backend: str = "auto") -> Problem:
+    """Parse a deck and build the Problem in one call.
+
+    backend: "auto" uses the native C++ parser (native/libfemmesh.so) when
+    built, else the pure-Python one; "python"/"native" force a choice.
+    """
+    if backend not in ("auto", "python", "native"):
+        raise ValueError(f"unknown parser backend {backend!r}")
+    if backend != "python":
+        from fem_tpu.io import native
+
+        if native.available():
+            return Problem.from_flat(native.parse_flat(str(path_or_text)))
+        if backend == "native":
+            raise RuntimeError("native mesh engine not built (make -C native)")
     return Problem.from_deck(inp.parse(path_or_text))
