@@ -33,6 +33,15 @@ def main(argv=None) -> int:
                     choices=["reference", "standard"])
     ap.add_argument("-o", "--output-prefix", default="",
                     help="directory/prefix for VTK output")
+    ap.add_argument("--checkpoint-dir", default=None,
+                    help="write per-step resume checkpoints here")
+    ap.add_argument("--no-resume", action="store_true",
+                    help="ignore existing checkpoints in --checkpoint-dir")
+    ap.add_argument("--profile-dir", default=None,
+                    help="capture a jax.profiler device trace here")
+    ap.add_argument("--parser", default="auto",
+                    choices=["auto", "python", "native"],
+                    help="deck parser backend")
     ap.add_argument("-q", "--quiet", action="store_true")
     args = ap.parse_args(argv)
 
@@ -49,18 +58,24 @@ def main(argv=None) -> int:
     from fem_tpu.models import problem as problem_mod
     from fem_tpu.solver import stepper
 
+    from fem_tpu.utils.timing import device_trace
+
     log("Reading input ...")
-    problem = problem_mod.load(args.input_file)
+    problem = problem_mod.load(args.input_file, backend=args.parser)
     config = Config(
         dtype=args.dtype,
         solver=args.solver,
         bc_mode=args.bc_mode,
         quirks=args.quirks,
         formulation=args.formulation,
+        checkpoint_dir=args.checkpoint_dir,
+        resume=not args.no_resume,
+        profile_dir=args.profile_dir,
     )
     log("Forming [K] ...")
     t0 = time.perf_counter()
-    result = stepper.run(problem, config, log=log)
+    with device_trace(config.profile_dir):
+        result = stepper.run(problem, config, log=log)
     log(f"Solved {result.nsteps} step(s) in {time.perf_counter() - t0:.3f}s")
 
     name = f"{args.output_prefix}0_output_000000.vtk"

@@ -60,6 +60,13 @@ class Config:
     quirks: bool = False
     direct_threshold: int = 4096
     n_devices: Optional[int] = None
+    # Checkpoint/resume (SURVEY.md §5: the reference has none; restartable
+    # state is aggregate_u/aggregate_stress/du/step).
+    checkpoint_dir: Optional[str] = None
+    checkpoint_every: int = 1
+    resume: bool = True
+    # Profiling: device-trace directory for jax.profiler (TensorBoard format).
+    profile_dir: Optional[str] = None
 
     def resolve_solver(self, ndof: int) -> str:
         if self.solver != "auto":

@@ -52,6 +52,19 @@ def run(
     du = jnp.zeros(n, dtype=dtype)  # warm start: Vec_U never zeroed
     newton_iters: List[int] = []
     krylov_iters: List[int] = []
+    first_step = 1
+
+    if config.checkpoint_dir and config.resume:
+        from fem_tpu.utils import checkpoint as ckpt
+
+        path = ckpt.latest(config.checkpoint_dir)
+        if path is not None:
+            step, agg_u, agg_s, du_np = ckpt.load(path)
+            aggregate_u = jnp.asarray(agg_u, dtype=dtype)
+            aggregate_stress = jnp.asarray(agg_s, dtype=dtype)
+            du = jnp.asarray(du_np, dtype=dtype)
+            first_step = step + 1
+            log(f"Resumed from {path} (next interval {first_step})")
 
     nsteps = problem.nsteps
     nonlinear = problem.has_cohesive
@@ -89,7 +102,7 @@ def run(
 
     bc_step_vals = system.bc_step_vals()
 
-    for k in range(1, nsteps + 1):
+    for k in range(first_step, nsteps + 1):
         t_init = problem.dt * (k - 1)
         log(f"Interval: {k}")
         if explicit:
@@ -121,6 +134,11 @@ def run(
         aggregate_u = aggregate_u + du
         stress_inc = system.stress_increment(du)
         aggregate_stress = aggregate_stress + stress_inc
+
+        if config.checkpoint_dir and k % max(config.checkpoint_every, 1) == 0:
+            from fem_tpu.utils import checkpoint as ckpt
+
+            ckpt.save(config.checkpoint_dir, k, aggregate_u, aggregate_stress, du)
 
     return StepResult(
         aggregate_u=np.asarray(aggregate_u),
