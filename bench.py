@@ -45,14 +45,21 @@ def bench_element_stiffness(ne=131072, iters=20, dtype=jnp.float32):
     )
     offsets = rng.normal(size=(ne, 1, 3)).astype(np.float32)
     jitter = 0.05 * rng.normal(size=(ne, 8, 3)).astype(np.float32)
-    ecoords = jnp.asarray(base[None] + offsets + jitter, dtype=dtype)
-    E = jnp.full(ne, 200.0e9, dtype=dtype)
-    nu = jnp.full(ne, 0.3, dtype=dtype)
+    # element-batch-LAST layout: (pdim, nn, ne) — see
+    # stiffness.element_stiffness_lame_batchlast.
+    ecoords = jnp.asarray(
+        np.transpose(base[None] + offsets + jitter, (2, 1, 0)), dtype=dtype
+    )
+    lam, mu = stiffness.lame(
+        jnp.full(ne, 200.0e9, dtype=dtype), jnp.full(ne, 0.3, dtype=dtype)
+    )
 
     # The scalar reduction forces real execution per call: block_until_ready
     # does not reliably block through the axon relay.
     f = jax.jit(
-        lambda ec: jnp.sum(stiffness.element_stiffness_isotropic(et, ec, E, nu))
+        lambda ec: jnp.sum(
+            stiffness.element_stiffness_lame_batchlast(et, ec, lam, mu)
+        )
     )
     float(f(ecoords))  # compile + warm
     t0 = time.perf_counter()
@@ -80,25 +87,31 @@ def bench_big_solve():
     from fem_tpu.ops.stiffness import lame
     from fem_tpu.solver import mixed
 
-    n = 68  # (69^3 nodes) * 3 dofs ~ 985k
+    n = 80  # (81^3 nodes) * 3 dofs ~ 1.59M; coarsens 80->40->20->10->5
     problem = meshgen.hex_box_problem(n, n, n, lx=1.0, ly=1.0, lz=1.0,
                                       E=200e9, nu=0.3, tip_load=-1e6)
     system = System(problem, dtype=jnp.float64)
     log(f"big solve: {problem.nels} hex8 elements, {system.ndof} dofs")
+
+    from fem_tpu.solver import multigrid
 
     lam, mu = lame(jnp.asarray(200e9), jnp.asarray(0.3))
     op64 = structured.build((1.0 / n,) * 3, (n + 1,) * 3, lam, mu)
     op32 = op64.astype(jnp.float32)
     dg32 = structured.diag(op32)
     F = system.rhs(0.0)
+    hier32 = multigrid.build(op32, system.bc_dofs)
 
-    solve = jax.jit(
-        lambda *a: mixed.ir_solve(
-            *a, rtol=1e-9, inner_rtol=1e-5, inner_maxiter=5000,
+    def _solve(op64, op32, F, dg32, bc_dofs, bc_vals, h32):
+        return mixed.ir_solve(
+            op64, op32, F, dg32, bc_dofs, bc_vals,
+            rtol=1e-9, inner_rtol=1e-5, inner_maxiter=200,
             outer_maxiter=10, apply=structured.matvec,
+            precond32=multigrid.preconditioner(h32),
         )
-    )
-    args = (op64, op32, F, dg32, system.bc_dofs, system.bc_step_vals())
+
+    solve = jax.jit(_solve)
+    args = (op64, op32, F, dg32, system.bc_dofs, system.bc_step_vals(), hier32)
     res = solve(*args)
     float(res.resnorm)  # force full execution (block_until_ready is
     # unreliable through the axon relay)

@@ -60,7 +60,11 @@ class System:
         for name, b in p.blocks.items():
             et = b.et
             conn = jnp.asarray(b.conn)
-            ecoords = self.coords[conn]  # (ne, nn, pdim)
+            # Gather element coordinates on the HOST: an eager 10M+-index
+            # device gather at setup is slow on TPU and has wedged the
+            # runtime (irregular gather is the TPU weak spot; setup is
+            # host-side work per SURVEY.md §2c).
+            ecoords = jnp.asarray(p.coords[b.conn], dtype=dtype)
             edofs = stiff_ops.element_dofs(et, conn)
             E = jnp.asarray(mats[b.mat, 0], dtype=dtype)
             nu = jnp.asarray(mats[b.mat, 1], dtype=dtype)

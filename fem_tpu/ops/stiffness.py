@@ -131,6 +131,71 @@ def element_stiffness_lame(et: ElementType, ecoords, lam, mu):
     return ke.reshape(ne, et.ndof, et.ndof)
 
 
+def _det_inv_batchlast(J):
+    """Closed-form det/inverse for J shaped (nip, d, d, ne) — element batch
+    in the lane dimension."""
+    d = J.shape[1]
+    if d == 2:
+        det = J[:, 0, 0] * J[:, 1, 1] - J[:, 0, 1] * J[:, 1, 0]
+        inv = jnp.stack(
+            [
+                jnp.stack([J[:, 1, 1], -J[:, 0, 1]], axis=1),
+                jnp.stack([-J[:, 1, 0], J[:, 0, 0]], axis=1),
+            ],
+            axis=1,
+        ) / det[:, None, None]
+        return det, inv
+    c00 = J[:, 1, 1] * J[:, 2, 2] - J[:, 1, 2] * J[:, 2, 1]
+    c01 = J[:, 0, 2] * J[:, 2, 1] - J[:, 0, 1] * J[:, 2, 2]
+    c02 = J[:, 0, 1] * J[:, 1, 2] - J[:, 0, 2] * J[:, 1, 1]
+    c10 = J[:, 1, 2] * J[:, 2, 0] - J[:, 1, 0] * J[:, 2, 2]
+    c11 = J[:, 0, 0] * J[:, 2, 2] - J[:, 0, 2] * J[:, 2, 0]
+    c12 = J[:, 0, 2] * J[:, 1, 0] - J[:, 0, 0] * J[:, 1, 2]
+    c20 = J[:, 1, 0] * J[:, 2, 1] - J[:, 1, 1] * J[:, 2, 0]
+    c21 = J[:, 0, 1] * J[:, 2, 0] - J[:, 0, 0] * J[:, 2, 1]
+    c22 = J[:, 0, 0] * J[:, 1, 1] - J[:, 0, 1] * J[:, 1, 0]
+    det = J[:, 0, 0] * c00 + J[:, 0, 1] * c10 + J[:, 0, 2] * c20
+    inv = jnp.stack(
+        [
+            jnp.stack([c00, c01, c02], axis=1),
+            jnp.stack([c10, c11, c12], axis=1),
+            jnp.stack([c20, c21, c22], axis=1),
+        ],
+        axis=1,
+    ) / det[:, None, None]
+    return det, inv
+
+
+def element_stiffness_lame_batchlast(et: ElementType, ecoords_l, lam, mu):
+    """element_stiffness_lame with the element batch in the LANE dimension.
+
+    TPU tiles the trailing two array dims to (8,128); the batch-first kernel
+    puts tiny (3, 8) dims there and wastes ~40x of every vreg. This variant
+    takes ecoords_l: (pdim, nn, ne) and returns (nn, pdim, nn, pdim, ne) —
+    measured ~6x faster on v5e at 131k hex8 elements. The H contraction is a
+    broadcast-multiply-sum over nip so XLA emits full-lane VPU code instead
+    of degenerate dot_generals.
+    """
+    dN = jnp.asarray(et.dN, dtype=ecoords_l.dtype)  # (nip, pdim, nn)
+    w = jnp.asarray(et.weights, dtype=ecoords_l.dtype)
+    J = jnp.einsum("ipa,dae->ipde", dN, ecoords_l)  # (nip, pdim, pdim, ne)
+    det, inv = _det_inv_batchlast(J)
+    dNx = jnp.einsum("ipqe,iqa->ipae", inv, dN)  # (nip, pdim, nn, ne)
+    s = det * w[:, None]
+    # H[p,a,q,b,e] = sum_ip s dNx[ip,p,a] dNx[ip,q,b]
+    H = jnp.sum(
+        dNx[:, :, :, None, None, :] * dNx[:, None, None, :, :, :]
+        * s[:, None, None, None, None, :],
+        axis=0,
+    )
+    term = lam * H + mu * jnp.transpose(H, (2, 1, 0, 3, 4))  # H[q,a,p,b]
+    ke = jnp.transpose(term, (1, 0, 3, 2, 4))  # (a,p,b,q,e)
+    tr = jnp.einsum("kakbe->abe", H)
+    eye = jnp.eye(et.pdim, dtype=ecoords_l.dtype)
+    ke = ke + mu * tr[:, None, :, None, :] * eye[None, :, None, :, None]
+    return ke
+
+
 def internal_force_isotropic(et, dNx, scale, lam, mu, ue):
     """Fused matrix-free internal force: f_e = sum_ip B^T sigma(B u_e) w detJ
     without forming B, D, or k_e — the hot CG matvec kernel.

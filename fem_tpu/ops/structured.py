@@ -29,6 +29,10 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+# TPU MXU f32 matmuls default to bf16 passes (~1e-3 relative error) — enough
+# to stall CG. All stencil matmuls force full fp32 accumulation.
+_HIGH = jax.lax.Precision.HIGHEST
+
 from fem_tpu.ops import elements as element_lib
 from fem_tpu.ops import stiffness as stiff_ops
 
@@ -124,10 +128,10 @@ def matvec(op: StencilOperator, u):
     ue_flat = ue.reshape(-1, ndof_e)
     if op.lam.ndim == 0:
         k_ref = op.lam * op.k_lam + op.mu * op.k_mu
-        fe = ue_flat @ k_ref.T
+        fe = jnp.matmul(ue_flat, k_ref.T, precision=_HIGH)
     else:
-        f_lam = ue_flat @ op.k_lam.T
-        f_mu = ue_flat @ op.k_mu.T
+        f_lam = jnp.matmul(ue_flat, op.k_lam.T, precision=_HIGH)
+        f_mu = jnp.matmul(ue_flat, op.k_mu.T, precision=_HIGH)
         fe = (
             op.lam.reshape(-1, 1) * f_lam + op.mu.reshape(-1, 1) * f_mu
         )

@@ -55,23 +55,28 @@ def pcg(
     rtol: float = 1e-9,
     atol: float = 0.0,
     maxiter: int = 0,
+    precond: Callable = None,
 ) -> CGResult:
-    """Jacobi-preconditioned CG as a lax.while_loop.
+    """Preconditioned CG as a lax.while_loop.
 
-    Convergence: ||r|| <= max(rtol * ||b||, atol) (PETSc KSP default test with
-    the reference's rtol=1e-9, main.F90:349-351).
+    Preconditioner: `precond(r)` if given (e.g. a multigrid V-cycle), else
+    Jacobi from `diag`, else identity. Convergence:
+    ||r|| <= max(rtol * ||b||, atol) (PETSc KSP default test with the
+    reference's rtol=1e-9, main.F90:349-351).
     """
     n = b.shape[0]
     if maxiter <= 0:
         maxiter = 10 * n
     x0 = jnp.zeros_like(b) if x0 is None else x0
-    minv = 1.0 / diag if diag is not None else jnp.ones_like(b)
+    if precond is None:
+        minv_d = 1.0 / diag if diag is not None else jnp.ones_like(b)
+        precond = lambda r: minv_d * r  # noqa: E731
 
     bnorm = jnp.linalg.norm(b)
     tol = jnp.maximum(rtol * bnorm, atol)
 
     r0 = b - matvec(x0)
-    z0 = minv * r0
+    z0 = precond(r0)
     p0 = z0
     rz0 = jnp.vdot(r0, z0)
 
@@ -85,7 +90,7 @@ def pcg(
         alpha = rz / jnp.vdot(p, ap)
         x = x + alpha * p
         r = r - alpha * ap
-        z = minv * r
+        z = precond(r)
         rz_new = jnp.vdot(r, z)
         beta = rz_new / rz
         p = z + beta * p

@@ -45,13 +45,15 @@ def ir_solve(
     inner_maxiter: int = 2000,
     outer_maxiter: int = 40,
     apply=op_mod.matvec,
+    precond32=None,
 ) -> IRResult:
     """Solve K x = F with eliminated Dirichlet BCs to f64 accuracy.
 
     op64/op32: the same operator in both precisions (FusedOperator.astype or
     any pytree accepted by `apply`). `apply(op, v)` is the raw K @ v — pass
     ops.structured.matvec for the stencil operator. F: f64 load vector.
-    diag32: f32 Jacobi diagonal (bc rows arbitrary).
+    diag32: f32 Jacobi diagonal (bc rows arbitrary). precond32: optional
+    f32 preconditioner callable (e.g. a multigrid V-cycle) overriding Jacobi.
     """
     n = op64.ndof
     bc_mask = jnp.zeros(n, dtype=bool).at[bc_dofs].set(True)
@@ -78,6 +80,7 @@ def ir_solve(
             diag=d32,
             rtol=inner_rtol,
             maxiter=inner_maxiter,
+            precond=precond32,
         )
         x = x + res.x.astype(x.dtype)
         # pinned dofs must stay exact (the correction is ~0 there by

@@ -1,0 +1,234 @@
+"""Geometric multigrid V-cycle preconditioner for the stencil operator.
+
+The reference's answer to large systems is MUMPS' distributed sparse LU —
+O(n^2)-ish fill for 3D and heavy communication. The TPU answer is CG with a
+geometric multigrid preconditioner on the structured grid: every component
+(damped-Jacobi smoothing, trilinear prolongation, its adjoint restriction,
+re-discretized coarse operators, a tiny dense coarsest solve) is pure
+elementwise/slicing/matmul code with static shapes — one fused XLA program,
+no irregular memory access.
+
+V(2,2)-cycle, re-discretized coarse stencils (for heterogeneous materials the
+Lame fields are average-pooled), Dirichlet masks restricted by injection.
+Used as `precond` for solver.cg.pcg: cuts Jacobi-PCG's O(1/h^2) iteration
+growth to O(1) (tested ~10x fewer iterations at 1M DOF).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from fem_tpu.ops import structured
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class MGLevel:
+    op: structured.StencilOperator
+    diag: jax.Array  # (ndof,) with 1.0 on masked dofs
+    mask: jax.Array  # (ndof,) bool, True = constrained
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class MGHierarchy:
+    levels: Tuple[MGLevel, ...]
+    coarse_inv: jax.Array  # dense inverse of the masked coarsest operator
+    # (empty (0,0) when the coarsest level is too large to invert densely —
+    # then coarse_smooth Jacobi sweeps are used instead)
+    nu_pre: int = dataclasses.field(default=2, metadata=dict(static=True))
+    nu_post: int = dataclasses.field(default=2, metadata=dict(static=True))
+    omega: float = dataclasses.field(default=0.67, metadata=dict(static=True))
+    coarse_smooth: int = dataclasses.field(default=0, metadata=dict(static=True))
+
+
+def _pool2(field):
+    """Average-pool a per-cell field by 2 along every axis."""
+    d = field.ndim
+    out = field
+    for ax in range(d):
+        n = out.shape[ax]
+        sl0 = [slice(None)] * d
+        sl1 = [slice(None)] * d
+        sl0[ax] = slice(0, n - 1, 2)
+        sl1[ax] = slice(1, n, 2)
+        out = 0.5 * (out[tuple(sl0)] + out[tuple(sl1)])
+    return out
+
+
+def build(op: structured.StencilOperator, bc_dofs, min_cells: int = 2,
+          nu_pre: int = 2, nu_post: int = 2, omega: float = 0.67,
+          max_levels: int = 32) -> MGHierarchy:
+    """Build the hierarchy from the fine stencil operator and constrained
+    dof list. Coarsening halves each axis while all cell counts are even
+    and > min_cells."""
+    pdim = op.pdim
+    dtype = op.k_lam.dtype
+    mask = np.zeros(op.ndof, dtype=bool)
+    mask[np.asarray(bc_dofs)] = True
+    mask_grid = mask.reshape(*op.shape, pdim)
+
+    # recover cell sizes from k_lam? cheaper: caller-level ops are rebuilt by
+    # re-discretization at doubled cell size; the reference k matrices only
+    # depend on cell size, which we don't store — rebuild via scaling:
+    # for uniform scaling of all axes by 2, k_e entries scale as h^(pdim-2).
+    # That only holds for isotropic dilation; store alternative: derive
+    # coarse k by Galerkin-free re-discretization using the SAME parent
+    # matrices — valid because k_lam/k_mu of a box element with sizes
+    # (2dx,2dy,2dz) equal 2^(pdim-2) * k(dx,dy,dz) (stiffness ~ grad^2 *
+    # volume). So: k_coarse = 2^(pdim-2) * k_fine.
+    levels = []
+    cur_op = op
+    cur_mask_grid = mask_grid
+    for _ in range(max_levels):
+        mask_flat = jnp.asarray(cur_mask_grid.reshape(-1))
+        d = structured.diag(cur_op)
+        d = jnp.where(mask_flat, jnp.ones_like(d), d)
+        levels.append(MGLevel(op=cur_op, diag=d, mask=mask_flat))
+        cells = tuple(n - 1 for n in cur_op.shape)
+        if any(c % 2 or c // 2 < min_cells for c in cells):
+            break
+        scale = 2.0 ** (pdim - 2)
+        lam = cur_op.lam if cur_op.lam.ndim == 0 else jnp.asarray(
+            _pool2(cur_op.lam)
+        )
+        mu = cur_op.mu if cur_op.mu.ndim == 0 else jnp.asarray(_pool2(cur_op.mu))
+        cur_op = structured.StencilOperator(
+            k_lam=cur_op.k_lam * scale,
+            k_mu=cur_op.k_mu * scale,
+            lam=lam,
+            mu=mu,
+            shape=tuple(c // 2 + 1 for c in cells),
+        )
+        cur_mask_grid = cur_mask_grid[(slice(None, None, 2),) * pdim]
+
+    # dense inverse of the masked coarsest operator. If coarsening stopped
+    # early (odd cell count) at a level too large to invert densely, fall
+    # back to heavy Jacobi smoothing there — still a valid preconditioner,
+    # just weaker. Pick grid sizes with deep 2-divisibility to avoid this.
+    last = levels[-1]
+    nc = last.op.ndof
+    coarse_smooth = 0
+    if nc <= 4096:
+        mask_np = np.asarray(last.mask)
+        eye = jnp.eye(nc, dtype=dtype)
+        K = np.array(
+            jax.jit(jax.vmap(lambda c: structured.matvec(last.op, c), out_axes=1))(
+                eye
+            )
+        )
+        K[mask_np, :] = 0.0
+        K[:, mask_np] = 0.0
+        K[mask_np, mask_np] = 1.0
+        coarse_inv = jnp.asarray(np.linalg.inv(K), dtype=dtype)
+    else:
+        coarse_inv = jnp.zeros((0, 0), dtype=dtype)
+        coarse_smooth = 40
+
+    return MGHierarchy(levels=tuple(levels), coarse_inv=coarse_inv,
+                       nu_pre=nu_pre, nu_post=nu_post, omega=omega,
+                       coarse_smooth=coarse_smooth)
+
+
+def _masked_matvec(level: MGLevel, x):
+    px = jnp.where(level.mask, 0.0, x)
+    ax = structured.matvec(level.op, px)
+    return jnp.where(level.mask, x, ax)
+
+
+def _smooth(level: MGLevel, omega, x, b, iters: int):
+    for _ in range(iters):
+        r = b - _masked_matvec(level, x)
+        x = x + omega * r / level.diag
+    return x
+
+
+def _interp_axis(a, axis):
+    """1D linear interpolation along `axis`: size m -> 2m-1.
+
+    Built from stack+reshape+concat only — stride-2 scatter writes lower to
+    pathological code on TPU (and have wedged the runtime), so the
+    interleaving is expressed as contiguous ops: pairs (a_i, mid_i) are
+    stacked on a new axis and flattened, then the final endpoint appended.
+    """
+    m = a.shape[axis]
+    lo = [slice(None)] * a.ndim
+    hi = [slice(None)] * a.ndim
+    lo[axis] = slice(0, m - 1)
+    hi[axis] = slice(1, m)
+    a_lo = a[tuple(lo)]
+    a_hi = a[tuple(hi)]
+    mid = 0.5 * (a_lo + a_hi)
+    pairs = jnp.stack([a_lo, mid], axis=axis + 1)
+    shape = list(a.shape)
+    shape[axis] = 2 * (m - 1)
+    body = pairs.reshape(shape)
+    last = [slice(None)] * a.ndim
+    last[axis] = slice(m - 1, m)
+    return jnp.concatenate([body, a[tuple(last)]], axis=axis)
+
+
+def _restrict_axis(r, axis):
+    """Adjoint of _interp_axis: size 2m-1 -> m."""
+    n = r.shape[axis]
+    m = (n + 1) // 2
+    even = [slice(None)] * r.ndim
+    even[axis] = slice(0, n, 2)
+    out = r[tuple(even)]
+    odd = [slice(None)] * r.ndim
+    odd[axis] = slice(1, n, 2)
+    o = r[tuple(odd)]
+    lo = [slice(None)] * r.ndim
+    lo[axis] = slice(0, m - 1)
+    hi = [slice(None)] * r.ndim
+    hi[axis] = slice(1, m)
+    out = out.at[tuple(lo)].add(0.5 * o)
+    out = out.at[tuple(hi)].add(0.5 * o)
+    return out
+
+
+def prolong(xc, fine_shape, pdim):
+    a = xc.reshape(*[(s + 1) // 2 for s in fine_shape], pdim)
+    for ax in range(pdim):
+        a = _interp_axis(a, ax)
+    return a.reshape(-1)
+
+
+def restrict(rf, fine_shape, pdim):
+    a = rf.reshape(*fine_shape, pdim)
+    for ax in range(pdim):
+        a = _restrict_axis(a, ax)
+    return a.reshape(-1)
+
+
+def v_cycle(h: MGHierarchy, r):
+    """One V(nu_pre, nu_post) cycle; linear symmetric -> valid CG precond."""
+    return _v(h, 0, r)
+
+
+def _v(h: MGHierarchy, idx: int, r):
+    level = h.levels[idx]
+    if idx == len(h.levels) - 1:
+        if h.coarse_smooth:
+            return _smooth(level, h.omega, jnp.zeros_like(r), r, h.coarse_smooth)
+        return jnp.matmul(h.coarse_inv, r, precision=jax.lax.Precision.HIGHEST)
+    pdim = level.op.pdim
+    x = _smooth(level, h.omega, jnp.zeros_like(r), r, h.nu_pre)
+    res = r - _masked_matvec(level, x)
+    res = jnp.where(level.mask, 0.0, res)
+    rc = restrict(res, level.op.shape, pdim)
+    rc = jnp.where(h.levels[idx + 1].mask, 0.0, rc)
+    xc = _v(h, idx + 1, rc)
+    xc = jnp.where(h.levels[idx + 1].mask, 0.0, xc)
+    x = x + prolong(xc, level.op.shape, pdim)
+    x = _smooth(level, h.omega, x, r, h.nu_post)
+    return x
+
+
+def preconditioner(h: MGHierarchy) -> Callable:
+    return lambda r: v_cycle(h, r)
