@@ -142,6 +142,67 @@ def matvec(op: StencilOperator, u):
     return out.reshape(-1)
 
 
+def matvec_sharded(op: StencilOperator, u, mesh, axis=None):
+    """K @ u with element slabs sharded over a 1D device mesh.
+
+    The node grid's leading axis is split into equal cell slabs; each device
+    runs the local stencil matvec on its slab (pure slicing + one matmul)
+    and the shared boundary planes are reduced by a single psum — the ICI
+    halo reduction. u is replicated (a 1.6M-dof f32 grid is ~6.4MB; psum of
+    it per matvec is ~100us-class on ICI, far below the compute).
+
+    Requires (shape[0]-1) divisible by the mesh size.
+    """
+    try:
+        from jax import shard_map
+    except ImportError:  # pragma: no cover
+        from jax.experimental.shard_map import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    axis = axis or mesh.axis_names[0]
+    nd = mesh.devices.size
+    shape = op.shape
+    pdim = op.pdim
+    cells_x = shape[0] - 1
+    if cells_x % nd:
+        raise ValueError(
+            f"leading cell count {cells_x} not divisible by {nd} devices"
+        )
+    c = cells_x // nd
+    local_shape = (c + 1,) + shape[1:]
+
+    def local(u_flat):
+        idx = jax.lax.axis_index(axis)
+        zero = jnp.zeros((), dtype=idx.dtype)
+        grid = u_flat.reshape(*shape, pdim)
+        start = (idx * c,) + (zero,) * (len(shape) - 1) + (zero,)
+        slab = jax.lax.dynamic_slice(grid, start, local_shape + (pdim,))
+        local_op = StencilOperator(
+            k_lam=op.k_lam, k_mu=op.k_mu, lam=op.lam, mu=op.mu,
+            shape=local_shape,
+        )
+        if op.lam.ndim != 0:
+            # slice the material fields to the local cells
+            fstart = (idx * c,) + (zero,) * (len(shape) - 1)
+            fsizes = (c,) + tuple(n - 1 for n in shape[1:])
+            local_op = StencilOperator(
+                k_lam=op.k_lam, k_mu=op.k_mu,
+                lam=jax.lax.dynamic_slice(op.lam, fstart, fsizes),
+                mu=jax.lax.dynamic_slice(op.mu, fstart, fsizes),
+                shape=local_shape,
+            )
+        f_local = matvec(local_op, slab.reshape(-1)).reshape(
+            local_shape + (pdim,)
+        )
+        out = jnp.zeros_like(grid)
+        out = jax.lax.dynamic_update_slice(out, f_local, start)
+        return jax.lax.psum(out.reshape(-1), axis)
+
+    return shard_map(
+        local, mesh=mesh, in_specs=(P(),), out_specs=P(), check_vma=False
+    )(u)
+
+
 def diag(op: StencilOperator):
     """Diagonal of K via the same slice-scatter with k_ref's diagonal."""
     pdim = op.pdim

@@ -1,0 +1,158 @@
+"""Geometric multigrid: convergence, adjointness, heterogeneity, 2D, and the
+sharded stencil matvec."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from fem_tpu.io import meshgen
+from fem_tpu.models.system import System
+from fem_tpu.ops import structured
+from fem_tpu.ops.stiffness import lame
+from fem_tpu.solver import cg, multigrid
+
+
+def _setup3d(n, E=200e9, nu=0.3):
+    problem = meshgen.hex_box_problem(
+        n, n, n, lx=1.0, ly=1.0, lz=1.0, E=E, nu=nu, tip_load=-1e6
+    )
+    system = System(problem, dtype=jnp.float64)
+    lam, mu = lame(jnp.asarray(E), jnp.asarray(nu))
+    op = structured.build((1.0 / n,) * 3, (n + 1,) * 3, lam, mu)
+    bc_mask = jnp.zeros(system.ndof, bool).at[system.bc_dofs].set(True)
+    A = cg.masked_operator(lambda v: structured.matvec(op, v), bc_mask)
+    b = jnp.where(bc_mask, 0.0, system.rhs(0.0))
+    return system, op, A, b, bc_mask
+
+
+def test_mg_mesh_independent_iterations():
+    iters = []
+    for n in (8, 16):
+        system, op, A, b, _ = _setup3d(n)
+        h = multigrid.build(op, system.bc_dofs)
+        res = cg.pcg(A, b, rtol=1e-9, maxiter=200,
+                     precond=multigrid.preconditioner(h))
+        assert float(res.resnorm) <= 1e-9 * float(jnp.linalg.norm(b)) * 1.01
+        iters.append(int(res.iters))
+    # doubling the mesh should NOT double the iterations (Jacobi does)
+    assert iters[1] <= iters[0] + 10
+
+
+def test_mg_matches_jacobi_solution():
+    system, op, A, b, _ = _setup3d(8)
+    h = multigrid.build(op, system.bc_dofs)
+    x_mg = cg.pcg(A, b, rtol=1e-11, maxiter=300,
+                  precond=multigrid.preconditioner(h)).x
+    x_j = cg.pcg(A, b, diag=jnp.where(
+        jnp.zeros(system.ndof, bool).at[system.bc_dofs].set(True), 1.0,
+        structured.diag(op)), rtol=1e-11, maxiter=20000).x
+    np.testing.assert_allclose(
+        np.asarray(x_mg), np.asarray(x_j), atol=1e-8 * float(jnp.abs(x_j).max())
+    )
+
+
+def test_prolong_restrict_adjoint():
+    rng = np.random.default_rng(0)
+    fine_shape = (9, 7, 5)
+    coarse_shape = tuple((s + 1) // 2 for s in fine_shape)
+    xc = jnp.asarray(rng.normal(size=int(np.prod(coarse_shape)) * 3))
+    rf = jnp.asarray(rng.normal(size=int(np.prod(fine_shape)) * 3))
+    lhs = float(jnp.vdot(multigrid.prolong(xc, fine_shape, 3), rf))
+    rhs = float(jnp.vdot(xc, multigrid.restrict(rf, fine_shape, 3)))
+    np.testing.assert_allclose(lhs, rhs, rtol=1e-13)
+
+
+def test_prolong_preserves_linears():
+    # trilinear interpolation reproduces a linear field exactly
+    cs = (5, 4, 3)
+    fs = tuple(2 * s - 1 for s in cs)
+    gx, gy, gz = np.meshgrid(
+        np.linspace(0, 1, cs[0]), np.linspace(0, 1, cs[1]),
+        np.linspace(0, 1, cs[2]), indexing="ij",
+    )
+    field = (2 * gx - 3 * gy + 0.5 * gz)[..., None] * np.ones(3)
+    fine = multigrid.prolong(jnp.asarray(field.reshape(-1)), fs, 3)
+    fx, fy, fz = np.meshgrid(
+        np.linspace(0, 1, fs[0]), np.linspace(0, 1, fs[1]),
+        np.linspace(0, 1, fs[2]), indexing="ij",
+    )
+    expect = (2 * fx - 3 * fy + 0.5 * fz)[..., None] * np.ones(3)
+    np.testing.assert_allclose(
+        np.asarray(fine).reshape(expect.shape), expect, atol=1e-12
+    )
+
+
+def test_mg_coarse_smooth_fallback():
+    # n=12 coarsens 12 -> 6 -> 3 (odd): hierarchy stops; force the fallback
+    # by building with a tiny dense limit via monkeypatching is overkill —
+    # instead check a hierarchy whose coarsest is odd still solves.
+    system, op, A, b, _ = _setup3d(12)
+    h = multigrid.build(op, system.bc_dofs)
+    res = cg.pcg(A, b, rtol=1e-8, maxiter=300,
+                 precond=multigrid.preconditioner(h))
+    assert float(res.resnorm) <= 1e-8 * float(jnp.linalg.norm(b)) * 1.01
+
+
+def test_mg_heterogeneous():
+    n = 8
+    problem = meshgen.hex_box_problem(n, n, n, lx=1.0, ly=1.0, lz=1.0,
+                                      tip_load=-1.0)
+    system = System(problem, dtype=jnp.float64)
+    rng = np.random.default_rng(1)
+    lam_f = jnp.asarray(rng.uniform(50, 500, size=(n, n, n)))
+    mu_f = jnp.asarray(rng.uniform(30, 300, size=(n, n, n)))
+    op = structured.build((1.0 / n,) * 3, (n + 1,) * 3, lam_f, mu_f)
+    bc_mask = jnp.zeros(system.ndof, bool).at[system.bc_dofs].set(True)
+    A = cg.masked_operator(lambda v: structured.matvec(op, v), bc_mask)
+    b = jnp.where(bc_mask, 0.0, system.rhs(0.0))
+    h = multigrid.build(op, system.bc_dofs)
+    res = cg.pcg(A, b, rtol=1e-9, maxiter=300,
+                 precond=multigrid.preconditioner(h))
+    assert float(res.resnorm) <= 1e-9 * float(jnp.linalg.norm(b)) * 1.01
+
+
+def test_mg_2d():
+    n = 16
+    problem = meshgen.quad_grid_problem(n, n, E=100.0, nu=0.3,
+                                        tip_force=(0.0, -1.0))
+    system = System(problem, dtype=jnp.float64)
+    lam, mu = lame(jnp.asarray(100.0), jnp.asarray(0.3))
+    op = structured.build((1.0 / n, 1.0 / n), (n + 1, n + 1), lam, mu)
+    bc_mask = jnp.zeros(system.ndof, bool).at[system.bc_dofs].set(True)
+    A = cg.masked_operator(lambda v: structured.matvec(op, v), bc_mask)
+    b = jnp.where(bc_mask, 0.0, system.rhs(0.0))
+    h = multigrid.build(op, system.bc_dofs)
+    res = cg.pcg(A, b, rtol=1e-10, maxiter=200,
+                 precond=multigrid.preconditioner(h))
+    assert float(res.resnorm) <= 1e-10 * float(jnp.linalg.norm(b)) * 1.01
+    assert int(res.iters) < 40
+
+
+def test_sharded_stencil_matvec():
+    from fem_tpu.parallel import make_mesh
+
+    n = 8
+    lam, mu = lame(jnp.asarray(70.0), jnp.asarray(0.25))
+    op = structured.build((1.0 / n,) * 3, (n + 1,) * 3, lam, mu)
+    rng = np.random.default_rng(2)
+    u = jnp.asarray(rng.normal(size=op.ndof))
+    mesh = make_mesh(4)
+    a = np.asarray(structured.matvec(op, u))
+    b = np.asarray(structured.matvec_sharded(op, u, mesh))
+    np.testing.assert_allclose(b, a, rtol=1e-12, atol=1e-12 * np.abs(a).max())
+
+
+def test_sharded_stencil_matvec_heterogeneous():
+    from fem_tpu.parallel import make_mesh
+
+    n = 8
+    rng = np.random.default_rng(3)
+    lam_f = jnp.asarray(rng.uniform(1, 2, size=(n, n, n)))
+    mu_f = jnp.asarray(rng.uniform(1, 2, size=(n, n, n)))
+    op = structured.build((1.0 / n,) * 3, (n + 1,) * 3, lam_f, mu_f)
+    u = jnp.asarray(rng.normal(size=op.ndof))
+    mesh = make_mesh(8)
+    a = np.asarray(structured.matvec(op, u))
+    b = np.asarray(structured.matvec_sharded(op, u, mesh))
+    np.testing.assert_allclose(b, a, rtol=1e-12, atol=1e-12 * np.abs(a).max())
