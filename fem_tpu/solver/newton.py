@@ -49,7 +49,7 @@ def solve_step(
     """One nonlinear load increment. du0 is the warm start (the reference
     never zeroes Vec_U between steps, main.F90:230)."""
     quirks = config.quirks
-    reference_form = config.formulation == "reference"
+    reference_form = config.resolve_formulation(bc_mode) == "reference"
     bc_dofs = system.bc_dofs
     bc_vals = system.bc_step_vals()
     n = system.ndof
@@ -58,8 +58,13 @@ def solve_step(
 
     K_el = system.dense_K()
 
+    def jacobian_raw(du):
+        """K_el + cohesive tangent, no BC treatment."""
+        return K_el + system.coh_stiffness_dense(aggregate_u + du, quirks)
+
     def jacobian(du):
-        J = K_el + system.coh_stiffness_dense(aggregate_u + du, quirks)
+        """BC-treated Jacobian used for the linear solves."""
+        J = jacobian_raw(du)
         if bc_mode == "penalty":
             J = J.at[bc_dofs, bc_dofs].set(PENALTY)
         else:
@@ -67,25 +72,21 @@ def solve_step(
             J = J.at[bc_dofs, bc_dofs].set(1.0)
         return J
 
-    def residual(du, J):
+    def residual(du, J_solve):
         # F = F_ext + F_coh, then BC rows inserted, then R = J du - F
-        # (m_global.F90:186-226).
+        # (m_global.F90:186-226). The multiply must use the RAW operator so
+        # free equations see the K[free,bc] * u_bc coupling; only the bc ROWS
+        # are overridden.
+        del J_solve
         F = F_ext + system.coh_force(aggregate_u + du, quirks)
         if bc_mode == "penalty":
             F = F.at[bc_dofs].set(PENALTY * bc_vals)
-            mul = J if reference_form else _penalized(K_el, bc_dofs)
+            mul = jacobian_raw(du) if reference_form else K_el
+            mul = mul.at[bc_dofs, bc_dofs].set(PENALTY)
             return mul @ du - F
-        # eliminate: pinned dofs have zero residual by construction
-        mul = J if reference_form else _masked(K_el, bc_mask, bc_dofs)
+        mul = jacobian_raw(du) if reference_form else K_el
         R = mul @ du - F
         return jnp.where(bc_mask, du - ubc, R)
-
-    def _penalized(K, dofs):
-        return K.at[dofs, dofs].set(PENALTY)
-
-    def _masked(K, mask, dofs):
-        K = jnp.where(mask[:, None] | mask[None, :], 0.0, K)
-        return K.at[dofs, dofs].set(1.0)
 
     du = du0
     if bc_mode == "eliminate":
@@ -136,6 +137,110 @@ def solve_step(
             break
 
     return NewtonResult(du=du, iters=iters, resnorm=rnorm, converged=converged)
+
+
+def solve_step_matfree(
+    system: System,
+    config: Config,
+    aggregate_u,
+    du0,
+    F_ext,
+):
+    """Matrix-free Newton-Krylov for large cohesive problems.
+
+    Same residual/Jacobian semantics as solve_step (eliminate BC mode), but
+    J delta = -R is solved by Jacobi-PCG with
+    J v = K_el v + K_coh(u) v applied matrix-free — no dense assembly, so it
+    scales to meshes where the dense SNES path cannot. The cohesive tangent
+    can lose definiteness past the traction peak; the Krylov iteration cap +
+    backtracking line search keep the outer iteration safe (the reference
+    leans on MUMPS pivoting there instead, main.F90:365-371).
+    """
+    quirks = config.quirks
+    reference_form = config.resolve_formulation("eliminate") == "reference"
+    bc_dofs = system.bc_dofs
+    bc_vals = system.bc_step_vals()
+    n = system.ndof
+    bc_mask = jnp.zeros(n, dtype=bool).at[bc_dofs].set(True)
+    ubc = jnp.zeros(n, dtype=F_ext.dtype).at[bc_dofs].set(bc_vals)
+
+    from fem_tpu.solver import cg as cg_mod
+
+    el_diag = system.diag_fused()
+
+    def jac_matvec(du, v):
+        out = system.matvec_fused(v) + system.coh_matvec(
+            aggregate_u + du, v, quirks
+        )
+        return out
+
+    def residual(du):
+        F = F_ext + system.coh_force(aggregate_u + du, quirks)
+        if reference_form:
+            R = jac_matvec(du, du) - F
+        else:
+            R = system.matvec_fused(du) - F
+        return jnp.where(bc_mask, du - ubc, R)
+
+    def pin(du):
+        return jnp.where(bc_mask, ubc, du)
+
+    du = pin(du0)
+    R = residual(du)
+    r0 = float(jnp.linalg.norm(R))
+    rnorm = r0
+    tol = max(config.newton_rtol * r0, config.newton_atol)
+
+    iters = 0
+    converged = rnorm <= tol
+    while not converged and iters < config.newton_maxit:
+        mv = cg_mod.masked_operator(lambda v: jac_matvec(du, v), bc_mask)
+        diag = el_diag + _coh_diag(system, aggregate_u + du, quirks)
+        diag = jnp.where(bc_mask, 1.0, diag)
+        diag = jnp.where(jnp.abs(diag) < 1e-30, 1.0, diag)
+        res = cg_mod.pcg(
+            mv, jnp.where(bc_mask, 0.0, -R), diag=jnp.abs(diag),
+            rtol=1e-6, maxiter=max(200, int(jnp.sqrt(n)) * 4),
+        )
+        delta = jnp.where(bc_mask, 0.0, res.x)
+        lam = 1.0
+        best_lam, best_r = None, rnorm
+        for _ in range(20):
+            R_trial = residual(pin(du + lam * delta))
+            r_trial = float(jnp.linalg.norm(R_trial))
+            if jnp.isfinite(jnp.asarray(r_trial)) and r_trial < best_r:
+                best_lam, best_r = lam, r_trial
+                if r_trial <= (1.0 - 1e-4 * lam) * rnorm:
+                    break
+            lam *= 0.5
+        if best_lam is None:
+            break
+        du_new = pin(du + best_lam * delta)
+        step_norm = float(jnp.linalg.norm(du_new - du))
+        du = du_new
+        iters += 1
+        R = residual(du)
+        rnorm = float(jnp.linalg.norm(R))
+        if rnorm <= tol:
+            converged = True
+            break
+        if step_norm <= config.newton_stol * max(float(jnp.linalg.norm(du)), 1e-300):
+            converged = True
+            break
+
+    return NewtonResult(du=du, iters=iters, resnorm=rnorm, converged=converged)
+
+
+def _coh_diag(system: System, u_total, quirks: bool):
+    """Diagonal of the cohesive tangent contribution (for Jacobi)."""
+    from fem_tpu.ops import cohesive as coh_ops
+
+    e = system.blocks["coh"]
+    ue = u_total[e["edofs"]]
+    ke = coh_ops.element_stiffness(e["ecoords"], e["props"], ue, system.dt, quirks)
+    d = jnp.diagonal(ke, axis1=1, axis2=2)
+    out = jnp.zeros(system.ndof, dtype=u_total.dtype)
+    return out.at[e["edofs"].reshape(-1)].add(d.reshape(-1))
 
 
 def _robust_solve(J, rhs):

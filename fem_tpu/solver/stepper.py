@@ -110,9 +110,14 @@ def run(
         F = system.rhs(t_init)
 
         if nonlinear:
-            res = newton.solve_step(
-                system, config, aggregate_u, du, F, bc_mode=bc_mode
-            )
+            if solver_kind == "direct":
+                res = newton.solve_step(
+                    system, config, aggregate_u, du, F, bc_mode=bc_mode
+                )
+            else:
+                res = newton.solve_step_matfree(
+                    system, config, aggregate_u, du, F
+                )
             du = res.du
             newton_iters.append(res.iters)
             log(f"    SNES Iteration Count: {res.iters}")

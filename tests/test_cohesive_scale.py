@@ -1,0 +1,77 @@
+"""Generated cohesive-interface problems: dense SNES path vs matrix-free
+Newton-Krylov, plus physics checks of the interface response."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from fem_tpu.config import Config
+from fem_tpu.io import meshgen
+from fem_tpu.models.system import System
+from fem_tpu.solver import stepper
+
+
+def test_interface_mesh_structure():
+    p = meshgen.cohesive_interface_problem(4, 2)
+    assert p.blocks["qua"].ne == 16
+    assert p.blocks["coh"].ne == 4
+    assert p.has_cohesive
+    # duplicated interface nodes: bottom-block top row and top-block bottom
+    # row coincide geometrically
+    coh = p.blocks["coh"].conn
+    np.testing.assert_allclose(
+        p.coords[coh[:, 0]], p.coords[coh[:, 3]], atol=1e-15
+    )
+    np.testing.assert_allclose(
+        p.coords[coh[:, 1]], p.coords[coh[:, 2]], atol=1e-15
+    )
+
+
+def test_matfree_matches_dense_newton():
+    p = meshgen.cohesive_interface_problem(
+        4, 2, open_disp=0.004, t=1.0, dt=0.5
+    )
+    dense = stepper.run(p, Config(solver="direct", bc_mode="eliminate"))
+    matfree = stepper.run(p, Config(solver="cg"))
+    scale = np.abs(dense.aggregate_u).max()
+    np.testing.assert_allclose(
+        matfree.aggregate_u, dense.aggregate_u, atol=1e-6 * scale
+    )
+
+
+def test_interface_softening_response():
+    """Pulling past delta_n must soften: total top reaction force at larger
+    opening is below the peak (Xu-Needleman peak at gap = delta_n)."""
+    sigma_max, dn = 50.0, 0.001
+    props = (sigma_max, dn, dn, 1.0, 0.0, 0.0)
+
+    def reaction_at(disp):
+        p = meshgen.cohesive_interface_problem(
+            6, 2, E=50000.0, open_disp=disp, t=1.0, dt=1.0, coh_props=props
+        )
+        res = stepper.run(p, Config(solver="direct", bc_mode="eliminate"))
+        system = System(p)
+        u = jnp.asarray(res.aggregate_u)
+        f_coh = np.asarray(system.coh_force(u))
+        # reaction = cohesive force transmitted through the interface's
+        # bottom-side nodes, y components
+        coh = p.blocks["coh"].conn
+        bottom_nodes = np.unique(coh[:, :2])
+        return np.abs(f_coh[bottom_nodes * 2 + 1].sum())
+
+    # near the peak separation the interface carries ~sigma_max * width;
+    # far past it, much less
+    f_peak = reaction_at(dn * 1.0)
+    f_soft = reaction_at(dn * 6.0)
+    assert f_soft < 0.2 * f_peak
+    # peak reaction should be on the order of sigma_max * lx = 50
+    assert 20.0 < f_peak < 60.0
+
+
+def test_matfree_large_runs():
+    p = meshgen.cohesive_interface_problem(32, 8, open_disp=0.004, dt=0.5)
+    res = stepper.run(p, Config(solver="cg"))
+    assert np.isfinite(res.aggregate_u).all()
+    u = res.aggregate_u.reshape(p.nnds, 2)
+    top = p.coords[:, 1] == 2.0
+    np.testing.assert_allclose(u[top, 1], 0.004, atol=1e-8)
