@@ -87,42 +87,61 @@ def bench_big_solve():
     from fem_tpu.ops.stiffness import lame
     from fem_tpu.solver import mixed
 
-    n = 80  # (81^3 nodes) * 3 dofs ~ 1.59M; coarsens 80->40->20->10->5
+    from fem_tpu.solver import cg, multigrid
+
+    n = 64  # (65^3 nodes) * 3 dofs ~ 824k; coarsens 64->32->16->8->4->2
     problem = meshgen.hex_box_problem(n, n, n, lx=1.0, ly=1.0, lz=1.0,
                                       E=200e9, nu=0.3, tip_load=-1e6)
     system = System(problem, dtype=jnp.float64)
     log(f"big solve: {problem.nels} hex8 elements, {system.ndof} dofs")
 
-    from fem_tpu.solver import multigrid
-
     lam, mu = lame(jnp.asarray(200e9), jnp.asarray(0.3))
     op64 = structured.build((1.0 / n,) * 3, (n + 1,) * 3, lam, mu)
     op32 = op64.astype(jnp.float32)
-    dg32 = structured.diag(op32)
     F = system.rhs(0.0)
     hier32 = multigrid.build(op32, system.bc_dofs)
+    bc_mask = jnp.zeros(system.ndof, bool).at[system.bc_dofs].set(True)
+    ubc = jnp.zeros(system.ndof).at[system.bc_dofs].set(system.bc_step_vals())
 
-    def _solve(op64, op32, F, dg32, bc_dofs, bc_vals, h32):
-        return mixed.ir_solve(
-            op64, op32, F, dg32, bc_dofs, bc_vals,
-            rtol=1e-9, inner_rtol=1e-5, inner_maxiter=200,
-            outer_maxiter=10, apply=structured.matvec,
-            precond32=multigrid.preconditioner(h32),
+    # Host-driven iterative refinement: two SMALL jitted programs (f32
+    # MG-PCG inner; f64 true residual) instead of one giant fused program —
+    # the remote-compile relay is unreliable on very large programs.
+    @jax.jit
+    def inner(h32, r32):
+        A32 = cg.masked_operator(lambda v: structured.matvec(op32, v), bc_mask)
+        return cg.pcg(A32, r32, rtol=1e-4, maxiter=60,
+                      precond=multigrid.preconditioner(h32))
+
+    @jax.jit
+    def true_resid(x):
+        A64 = cg.masked_operator(lambda v: structured.matvec(op64, v), bc_mask)
+        b = cg.constrained_rhs(
+            lambda v: structured.matvec(op64, v), F, bc_mask, ubc
         )
+        return b - A64(x)
 
-    solve = jax.jit(_solve)
-    args = (op64, op32, F, dg32, system.bc_dofs, system.bc_step_vals(), hier32)
-    res = solve(*args)
-    float(res.resnorm)  # force full execution (block_until_ready is
-    # unreliable through the axon relay)
+    def solve():
+        x = ubc
+        inner_total = 0
+        for k in range(8):
+            r = true_resid(x)
+            rn = float(jnp.linalg.norm(r))
+            if k == 0:
+                r0 = rn
+            if rn <= 1e-9 * r0:
+                break
+            res = inner(hier32, r.astype(jnp.float32))
+            inner_total += int(res.iters)
+            x = jnp.where(bc_mask, ubc, x + res.x.astype(jnp.float64))
+        return x, k, inner_total, rn / r0
+
+    x, outer, inner_total, rel = solve()  # compile + run
     t0 = time.perf_counter()
-    res = solve(*args)
-    rn = float(res.resnorm)
+    x, outer, inner_total, rel = solve()
     dt = time.perf_counter() - t0
-    bn = float(jnp.linalg.norm(F))
     log(
-        f"big solve: outer={int(res.outer_iters)} inner={int(res.inner_iters)}"
-        f" rel_res={rn / bn:.2e}, {dt:.3f}s wall"
+        f"big solve: outer={outer} inner={inner_total} rel_res={rel:.2e}, "
+        f"{dt:.3f}s wall"
     )
     return dt
 
@@ -130,10 +149,9 @@ def bench_big_solve():
 def main():
     ne_rate, per_iter = bench_element_stiffness()
     log(f"hex8 stiffness: {ne_rate:.3e} elems/sec ({per_iter * 1e3:.2f} ms/iter)")
-    try:
-        bench_big_solve()
-    except Exception as e:  # secondary benchmark must not kill the headline
-        log(f"big solve skipped: {e!r}")
+    # Emit the headline FIRST: the TPU runtime behind the axon relay can
+    # wedge on very large compiles, and a hung secondary benchmark must not
+    # cost the recorded metric.
     print(
         json.dumps(
             {
@@ -142,8 +160,23 @@ def main():
                 "unit": "elems/sec",
                 "vs_baseline": round(ne_rate / REFERENCE_64CORE_ELEMS_PER_SEC, 3),
             }
-        )
+        ),
+        flush=True,
     )
+    try:
+        import signal
+
+        def _timeout(signum, frame):
+            raise TimeoutError("big solve exceeded its time budget")
+
+        signal.signal(signal.SIGALRM, _timeout)
+        signal.alarm(240)
+        try:
+            bench_big_solve()
+        finally:
+            signal.alarm(0)
+    except Exception as e:  # secondary benchmark must not kill the headline
+        log(f"big solve skipped: {e!r}")
 
 
 if __name__ == "__main__":

@@ -1,0 +1,173 @@
+"""Pallas TPU kernels for the hot element ops.
+
+`hex8_stiffness_pallas` forms batched hex8 element stiffness matrices with
+the element batch in the lane dimension — the same math as
+stiffness.element_stiffness_lame_batchlast but blocked through VMEM: per
+grid step one (24, BLOCK_E) coordinate tile is resident, the 8-integration-
+point loop is unrolled with the dN tables baked in as constants, and the
+symmetric gradient-correlation tensor H (300 unique rows) is built with
+constant one-hot *selection matmuls* — the MXU performs what would otherwise
+be an irregular row-gather, and XLA's padded-intermediate lowering is
+avoided entirely. All matmuls run at Precision.HIGHEST (TPU f32 matmuls
+default to bf16 passes).
+
+Use `interpret=True` for CPU-exact testing.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from jax.experimental import pallas as pl
+
+try:  # pltpu imports fine on CPU; only needed for real-TPU memory spaces
+    from jax.experimental.pallas import tpu as pltpu
+
+    _HAS_PLTPU = True
+except Exception:  # pragma: no cover
+    _HAS_PLTPU = False
+
+from fem_tpu.ops import elements as element_lib
+
+_HIGH = jax.lax.Precision.HIGHEST
+_ET = element_lib.get("hex")
+_DN = np.asarray(_ET.dN)  # (8 ip, 3 p, 8 a)
+_W = np.asarray(_ET.weights)
+
+# Unique upper-triangle (r<=c) dof pairs of the symmetric 24x24 element
+# matrix; H row i holds sum_ip s * dNx[dof r_i] * dNx[dof c_i], where dof
+# r = a*3+p denotes dNx[p, a].
+_PAIRS = [(r, c) for r in range(24) for c in range(r, 24)]
+_PAIR_INDEX = {rc: i for i, rc in enumerate(_PAIRS)}
+_NPAIR = len(_PAIRS)  # 300
+
+# Selection matrices: pick dof rows r_i / c_i out of the 24 dNx rows.
+_SEL_R = np.zeros((_NPAIR, 24), dtype=np.float32)
+_SEL_C = np.zeros((_NPAIR, 24), dtype=np.float32)
+for i, (r, c) in enumerate(_PAIRS):
+    _SEL_R[i, r] = 1.0
+    _SEL_C[i, c] = 1.0
+
+
+def _h_index(r, c):
+    return _PAIR_INDEX[(r, c) if r <= c else (c, r)]
+
+
+# Output assembly: ke[r, c] = lam * H(r', c') + mu * H(r'', c'') + mu *
+# [p==q] * (H trace terms); expressed as three one-hot (576, 300) matmuls.
+_A_LAM = np.zeros((576, _NPAIR), dtype=np.float32)
+_A_MU = np.zeros((576, _NPAIR), dtype=np.float32)
+_A_TR = np.zeros((576, _NPAIR), dtype=np.float32)
+for r in range(24):
+    a, p = divmod(r, 3)
+    for c in range(24):
+        b, q = divmod(c, 3)
+        o = r * 24 + c
+        _A_LAM[o, _h_index(a * 3 + p, b * 3 + q)] += 1.0
+        _A_MU[o, _h_index(a * 3 + q, b * 3 + p)] += 1.0
+        if p == q:
+            for k in range(3):
+                _A_TR[o, _h_index(a * 3 + k, b * 3 + k)] += 1.0
+
+
+def _kernel(ec_ref, lam_ref, mu_ref, dn_ref, selr_ref, selc_ref,
+            alam_ref, amu_ref, atr_ref, out_ref):
+    dtype = ec_ref.dtype
+    be = ec_ref.shape[1]
+    x = ec_ref[:].reshape(3, 8, be)  # (d, a, e)
+    h = jnp.zeros((_NPAIR, be), dtype=dtype)
+    for ip in range(8):
+        dN = dn_ref[ip * 3:(ip + 1) * 3, :]  # (3 p, 8 a)
+        J = jnp.einsum("pa,dae->pde", dN, x, precision=_HIGH)  # (p, d, e)
+        c00 = J[1, 1] * J[2, 2] - J[1, 2] * J[2, 1]
+        c01 = J[0, 2] * J[2, 1] - J[0, 1] * J[2, 2]
+        c02 = J[0, 1] * J[1, 2] - J[0, 2] * J[1, 1]
+        c10 = J[1, 2] * J[2, 0] - J[1, 0] * J[2, 2]
+        c11 = J[0, 0] * J[2, 2] - J[0, 2] * J[2, 0]
+        c12 = J[0, 2] * J[1, 0] - J[0, 0] * J[1, 2]
+        c20 = J[1, 0] * J[2, 1] - J[1, 1] * J[2, 0]
+        c21 = J[0, 1] * J[2, 0] - J[0, 0] * J[2, 1]
+        c22 = J[0, 0] * J[1, 1] - J[0, 1] * J[1, 0]
+        det = J[0, 0] * c00 + J[0, 1] * c10 + J[0, 2] * c20
+        invd = 1.0 / det
+        inv = jnp.stack(
+            [
+                jnp.stack([c00, c01, c02]),
+                jnp.stack([c10, c11, c12]),
+                jnp.stack([c20, c21, c22]),
+            ]
+        ) * invd  # (p, q, e)
+        dNx_pa = jnp.einsum("pqe,qa->pae", inv, dN, precision=_HIGH)
+        dof_rows = jnp.transpose(dNx_pa, (1, 0, 2)).reshape(24, be)  # a*3+p
+        s = det * float(_W[ip])
+        dr = jnp.dot(selr_ref[:], dof_rows, precision=_HIGH)
+        dc = jnp.dot(selc_ref[:], dof_rows, precision=_HIGH)
+        h = h + s[None, :] * dr * dc
+    lam = lam_ref[0, :]
+    mu = mu_ref[0, :]
+    out = (
+        lam[None, :] * jnp.dot(alam_ref[:], h, precision=_HIGH)
+        + mu[None, :]
+        * (
+            jnp.dot(amu_ref[:], h, precision=_HIGH)
+            + jnp.dot(atr_ref[:], h, precision=_HIGH)
+        )
+    )
+    out_ref[:] = out
+
+
+@functools.partial(jax.jit, static_argnames=("block_e", "interpret"))
+def hex8_stiffness_pallas(ecoords_l, lam, mu, block_e: int = 256,
+                          interpret: bool = False):
+    """Batched hex8 k_e via Pallas.
+
+    Args:
+      ecoords_l: (3, 8, ne) element coordinates, batch-last.
+      lam, mu: (ne,) Lame parameters.
+    Returns (24, 24, ne) with rows/cols in (a*pdim+p) dof order — identical
+    to element_stiffness_lame_batchlast's output reshaped.
+    """
+    ne = ecoords_l.shape[-1]
+    if ne % block_e:
+        pad = block_e - ne % block_e
+        ecoords_l = jnp.pad(ecoords_l, ((0, 0), (0, 0), (0, pad)))
+        lam = jnp.pad(lam, (0, pad))
+        mu = jnp.pad(mu, (0, pad))
+    ne_pad = ecoords_l.shape[-1]
+    ec = ecoords_l.reshape(24, ne_pad)
+    dtype = ec.dtype
+
+    mem = dict(memory_space=pltpu.VMEM) if (_HAS_PLTPU and not interpret) else {}
+
+    def const_spec(shape):
+        return pl.BlockSpec(shape, lambda i: (0, 0), **mem)
+
+    dn = jnp.asarray(_DN.reshape(24, 8), dtype)
+    out = pl.pallas_call(
+        _kernel,
+        grid=(ne_pad // block_e,),
+        in_specs=[
+            pl.BlockSpec((24, block_e), lambda i: (0, i), **mem),
+            pl.BlockSpec((1, block_e), lambda i: (0, i), **mem),
+            pl.BlockSpec((1, block_e), lambda i: (0, i), **mem),
+            const_spec((24, 8)),
+            const_spec((_NPAIR, 24)),
+            const_spec((_NPAIR, 24)),
+            const_spec((576, _NPAIR)),
+            const_spec((576, _NPAIR)),
+            const_spec((576, _NPAIR)),
+        ],
+        out_specs=pl.BlockSpec((576, block_e), lambda i: (0, i), **mem),
+        out_shape=jax.ShapeDtypeStruct((576, ne_pad), dtype),
+        interpret=interpret,
+    )(
+        ec, lam.reshape(1, ne_pad), mu.reshape(1, ne_pad), dn,
+        jnp.asarray(_SEL_R, dtype), jnp.asarray(_SEL_C, dtype),
+        jnp.asarray(_A_LAM, dtype), jnp.asarray(_A_MU, dtype),
+        jnp.asarray(_A_TR, dtype),
+    )
+    return out.reshape(24, 24, ne_pad)[:, :, :ne]

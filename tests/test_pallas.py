@@ -1,0 +1,56 @@
+"""Pallas hex8 stiffness kernel vs the XLA batch-last kernel (interpret mode
+— exact on CPU; the real-TPU path shares the same kernel body)."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from fem_tpu.ops import elements, stiffness
+from fem_tpu.ops.pallas_kernels import hex8_stiffness_pallas
+
+BASE = np.array(
+    [
+        [0, 0, 0], [1, 0, 0], [1, 1, 0], [0, 1, 0],
+        [0, 0, 1], [1, 0, 1], [1, 1, 1], [0, 1, 1],
+    ],
+    dtype=float,
+)
+
+
+def _setup(ne, seed=0):
+    rng = np.random.default_rng(seed)
+    ec = np.transpose(BASE[None] + 0.05 * rng.normal(size=(ne, 8, 3)), (2, 1, 0))
+    lam = rng.uniform(1, 2, ne)
+    mu = rng.uniform(1, 2, ne)
+    return jnp.asarray(ec), jnp.asarray(lam), jnp.asarray(mu)
+
+
+def _reference(ec, lam, mu):
+    et = elements.get("hex")
+    ke = stiffness.element_stiffness_lame_batchlast(et, ec, lam, mu)
+    return np.asarray(ke).reshape(24, 24, -1)
+
+
+def test_pallas_matches_xla_exact_block():
+    ec, lam, mu = _setup(128)
+    got = np.asarray(hex8_stiffness_pallas(ec, lam, mu, block_e=128,
+                                           interpret=True))
+    ref = _reference(ec, lam, mu)
+    np.testing.assert_allclose(got, ref, rtol=1e-13, atol=1e-13 * np.abs(ref).max())
+
+
+def test_pallas_padding_and_multiblock():
+    # 300 elements over block_e=128: 3 blocks with padding on the last
+    ec, lam, mu = _setup(300, seed=1)
+    got = np.asarray(hex8_stiffness_pallas(ec, lam, mu, block_e=128,
+                                           interpret=True))
+    assert got.shape == (24, 24, 300)
+    ref = _reference(ec, lam, mu)
+    np.testing.assert_allclose(got, ref, rtol=1e-13, atol=1e-13 * np.abs(ref).max())
+
+
+def test_pallas_symmetry():
+    ec, lam, mu = _setup(64, seed=2)
+    got = np.asarray(hex8_stiffness_pallas(ec, lam, mu, block_e=64,
+                                           interpret=True))
+    np.testing.assert_allclose(got, np.transpose(got, (1, 0, 2)), atol=1e-12)
