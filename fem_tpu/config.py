@@ -44,6 +44,11 @@ class Config:
         the penalty BC path is active (deck parity), "standard" otherwise
         (production large-scale path); both fixed points agree to <1% on the
         shipped-deck class.
+      viscoelastic: enable the power-law creep correction (the live version
+        of the reference's dead ReformElRHS path): per-step RHS term
+        B^T D_eff dt beta(sigma) and backward-Euler ip-stress updates, using
+        material columns 3-4 (viscosity, exponent) that the reference parses
+        but never uses.
       quirks: replicate two latent reference bugs bit-for-bit (see
         fem_tpu/ops/cohesive.py): the dense cohesive traction overwriting
         instead of accumulating over integration points (m_global.F90:669) and
@@ -65,6 +70,7 @@ class Config:
     newton_maxit: int = 50
     formulation: str = "auto"
     quirks: bool = False
+    viscoelastic: bool = False
     direct_threshold: int = 4096
     n_devices: Optional[int] = None
     # Checkpoint/resume (SURVEY.md §5: the reference has none; restartable

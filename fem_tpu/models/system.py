@@ -231,7 +231,94 @@ class System:
         out = jnp.zeros(self.ndof, dtype=self.dtype)
         return out.at[e["edofs"].reshape(-1)].add(fe.reshape(-1))
 
+    # ---------------- viscoelastic creep ----------------
+
+    def creep_state_init(self):
+        """Zero per-integration-point stress state for every continuum block
+        with a creeping material (visc > 0): {name: (ne, nip, cpdim)}."""
+        state = {}
+        for name, e in self._continuum():
+            visc = self._mats[np.asarray(self.problem.blocks[name].mat), 2]
+            if (visc > 0).any():
+                state[name] = jnp.zeros(
+                    (e["conn"].shape[0], e["et"].nip, self.cpdim),
+                    dtype=self.dtype,
+                )
+        return state
+
+    def _creep_D_eff_beta(self, name, sigma_ip):
+        """Effective modulus D_eff = (S + dt*beta')^-1 and creep rate beta at
+        each ip — the reference's intended implicit creep correction
+        (ReformElRHS, m_local.F90:127-145)."""
+        from fem_tpu.utils import smallmat
+
+        e = self.blocks[name]
+        b = self.problem.blocks[name]
+        visc = jnp.asarray(self._mats[np.asarray(b.mat), 2], dtype=self.dtype)
+        expn = jnp.asarray(self._mats[np.asarray(b.mat), 3], dtype=self.dtype)
+        D = e["D"] if "D" in e else dmat_ops.dmat(e["E"], e["nu"], self.pdim)
+        S = jnp.linalg.inv(D)  # (ne, cpdim, cpdim)
+        if self.pdim == 2:
+            beta = dmat_ops.creep_beta2d(sigma_ip, visc[:, None], expn[:, None])
+            betad = dmat_ops.creep_betad2d(sigma_ip, visc[:, None], expn[:, None])
+        else:
+            beta = dmat_ops.creep_beta3d(sigma_ip, visc[:, None], expn[:, None])
+            betad = dmat_ops.creep_betad3d(sigma_ip, visc[:, None], expn[:, None])
+        D_eff = jnp.linalg.inv(S[:, None, :, :] + self.dt * betad)
+        return D_eff, beta
+
+    def creep_force(self, creep_state):
+        """RHS correction f = sum_ip B^T D_eff (dt*beta) w detJ scattered to
+        global dofs (the live version of the reference's dead ReformElRHS)."""
+        F = jnp.zeros(self.ndof, dtype=self.dtype)
+        for name, sigma_ip in creep_state.items():
+            e = self.blocks[name]
+            et = e["et"]
+            D_eff, beta = self._creep_D_eff_beta(name, sigma_ip)
+            dNx, detj = stiff_ops.grad_and_detj(et, e["ecoords"])
+            B = stiff_ops.bmat(dNx, self.pdim)  # (ne, nip, cpdim, ndof_e)
+            w = jnp.asarray(et.weights, dtype=self.dtype)
+            scale = detj * w[None, :]
+            g = jnp.einsum("eicd,eid->eic", D_eff, self.dt * beta)
+            fe = jnp.einsum("eica,eic,ei->ea", B, g, scale)
+            F = F.at[e["edofs"].reshape(-1)].add(fe.reshape(-1))
+        return F
+
+    def creep_stress_update(self, creep_state, du):
+        """Backward-Euler stress update per ip:
+        sigma += D_eff (B du - dt beta(sigma))."""
+        new_state = {}
+        for name, sigma_ip in creep_state.items():
+            e = self.blocks[name]
+            et = e["et"]
+            D_eff, beta = self._creep_D_eff_beta(name, sigma_ip)
+            dNx, _ = stiff_ops.grad_and_detj(et, e["ecoords"])
+            B = stiff_ops.bmat(dNx, self.pdim)
+            ue = du[e["edofs"]]
+            eps_inc = jnp.einsum("eica,ea->eic", B, ue)
+            dsig = jnp.einsum(
+                "eicd,eid->eic", D_eff, eps_inc - self.dt * beta
+            )
+            new_state[name] = sigma_ip + dsig
+        return new_state
+
     # ---------------- stress ----------------
+
+    def nodal_average_state(self, state_by_block):
+        """Nodal average of per-ip stress states {name: (ne, nip, cpdim)}
+        (the viscoelastic-mode output field; extrapolation + count-average
+        as in stress_increment)."""
+        sums = jnp.zeros((self.nnds, self.cpdim), dtype=self.dtype)
+        counts = jnp.zeros(self.nnds, dtype=self.dtype)
+        for name, sigma_ip in state_by_block.items():
+            e = self.blocks[name]
+            et = e["et"]
+            sig_nodes = stiff_ops.nodal_stress(et, sigma_ip)
+            conn_flat = e["conn"].reshape(-1)
+            sums = sums.at[conn_flat].add(sig_nodes.reshape(-1, self.cpdim))
+            counts = counts.at[conn_flat].add(1.0)
+        counts = jnp.maximum(counts, 1.0)
+        return sums / counts[:, None]
 
     def stress_increment(self, du):
         """Nodal-averaged stress from the step increment du.

@@ -69,6 +69,15 @@ def run(
     nsteps = problem.nsteps
     nonlinear = problem.has_cohesive
     explicit = problem.stype == "explicit"
+    creep_state = None
+    if config.viscoelastic and not explicit:
+        if nonlinear:
+            raise NotImplementedError(
+                "viscoelastic + cohesive in one run is not supported yet"
+            )
+        creep_state = system.creep_state_init()
+        if not creep_state:
+            creep_state = None
 
     # Linear path setup: K is constant; factorize/prepare once
     # (the reference configures the KSP once, main.F90:199-214).
@@ -108,6 +117,8 @@ def run(
         if explicit:
             continue
         F = system.rhs(t_init)
+        if creep_state is not None:
+            F = F + system.creep_force(creep_state)
 
         if nonlinear:
             if solver_kind == "direct":
@@ -137,8 +148,12 @@ def run(
             krylov_iters.append(int(res.iters))
 
         aggregate_u = aggregate_u + du
-        stress_inc = system.stress_increment(du)
-        aggregate_stress = aggregate_stress + stress_inc
+        if creep_state is not None:
+            creep_state = system.creep_stress_update(creep_state, du)
+            aggregate_stress = system.nodal_average_state(creep_state)
+        else:
+            stress_inc = system.stress_increment(du)
+            aggregate_stress = aggregate_stress + stress_inc
 
         if config.checkpoint_dir and k % max(config.checkpoint_every, 1) == 0:
             from fem_tpu.utils import checkpoint as ckpt
