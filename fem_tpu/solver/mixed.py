@@ -84,8 +84,10 @@ def ir_solve(
         )
         x = x + res.x.astype(x.dtype)
         # pinned dofs must stay exact (the correction is ~0 there by
-        # construction of the masked operator, but enforce against drift)
-        x = jnp.where(bc_mask, ubc, x)
+        # construction of the masked operator, but enforce against drift);
+        # float-mask arithmetic (see cg.masked_operator)
+        mf = bc_mask.astype(x.dtype)
+        x = x * (1.0 - mf) + ubc * mf
         r = b - A64(x)
         return (x, r, k + 1, inner_total + res.iters)
 

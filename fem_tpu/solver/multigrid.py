@@ -136,9 +136,11 @@ def build(op: structured.StencilOperator, bc_dofs, min_cells: int = 2,
 
 
 def _masked_matvec(level: MGLevel, x):
-    px = jnp.where(level.mask, 0.0, x)
-    ax = structured.matvec(level.op, px)
-    return jnp.where(level.mask, x, ax)
+    # float-mask arithmetic: bool selects on matvec outputs miscompile on
+    # TPU at large sizes (see solver/cg.masked_operator)
+    mf = level.mask.astype(x.dtype)
+    keep = 1.0 - mf
+    return structured.matvec(level.op, x * keep) * keep + x * mf
 
 
 def _smooth(level: MGLevel, omega, x, b, iters: int):
@@ -218,13 +220,12 @@ def _v(h: MGHierarchy, idx: int, r):
             return _smooth(level, h.omega, jnp.zeros_like(r), r, h.coarse_smooth)
         return jnp.matmul(h.coarse_inv, r, precision=jax.lax.Precision.HIGHEST)
     pdim = level.op.pdim
+    keep = 1.0 - level.mask.astype(r.dtype)
     x = _smooth(level, h.omega, jnp.zeros_like(r), r, h.nu_pre)
-    res = r - _masked_matvec(level, x)
-    res = jnp.where(level.mask, 0.0, res)
+    res = (r - _masked_matvec(level, x)) * keep
     rc = restrict(res, level.op.shape, pdim)
-    rc = jnp.where(h.levels[idx + 1].mask, 0.0, rc)
-    xc = _v(h, idx + 1, rc)
-    xc = jnp.where(h.levels[idx + 1].mask, 0.0, xc)
+    keep_c = 1.0 - h.levels[idx + 1].mask.astype(r.dtype)
+    xc = _v(h, idx + 1, rc * keep_c) * keep_c
     x = x + prolong(xc, level.op.shape, pdim)
     x = _smooth(level, h.omega, x, r, h.nu_post)
     return x
