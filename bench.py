@@ -24,11 +24,32 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-REFERENCE_64CORE_ELEMS_PER_SEC = 2.0e6  # documented estimate, see docstring
+REFERENCE_64CORE_ELEMS_PER_SEC = 2.0e6  # fallback; measured when possible
 
 
 def log(msg):
     print(msg, file=sys.stderr, flush=True)
+
+
+def measure_reference_baseline():
+    """64-core reference baseline from a MEASURED single-core -O3 C++
+    reimplementation of FormElKE (native/benchref.cpp), assuming perfect MPI
+    scaling — a deliberately generous stand-in for the Fortran+PETSc
+    reference (whose FormElKE allocates temporaries per element and uses
+    unblocked matmul intrinsics). Falls back to a constant if the native
+    library isn't built."""
+    import ctypes
+    import os
+
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "native", "libbenchref.so")
+    if not os.path.exists(path):
+        return REFERENCE_64CORE_ELEMS_PER_SEC, "estimated"
+    lib = ctypes.CDLL(path)
+    lib.fem_ref_ke_rate.restype = ctypes.c_double
+    lib.fem_ref_ke_rate.argtypes = [ctypes.c_int64]
+    per_core = lib.fem_ref_ke_rate(100000)
+    return 64.0 * per_core, f"measured ({per_core:.3e}/core x 64)"
 
 
 def bench_element_stiffness(ne=131072, iters=20, dtype=jnp.float32):
@@ -154,9 +175,64 @@ def bench_big_solve():
     return dt
 
 
+def bench_element_stiffness_pallas(ne=131072, iters=20, dtype=jnp.float32):
+    from fem_tpu.ops.pallas_kernels import hex8_stiffness_pallas
+
+    rng = np.random.default_rng(0)
+    base = np.array(
+        [
+            [0, 0, 0], [1, 0, 0], [1, 1, 0], [0, 1, 0],
+            [0, 0, 1], [1, 0, 1], [1, 1, 1], [0, 1, 1],
+        ],
+        dtype=np.float32,
+    )
+    ec = np.transpose(
+        base[None]
+        + rng.normal(size=(ne, 1, 3)).astype(np.float32)
+        + 0.05 * rng.normal(size=(ne, 8, 3)).astype(np.float32),
+        (2, 1, 0),
+    )
+    ecoords = jnp.asarray(ec, dtype=dtype)
+    from fem_tpu.ops import stiffness
+
+    lam, mu = stiffness.lame(
+        jnp.full(ne, 200.0e9, dtype=dtype), jnp.full(ne, 0.3, dtype=dtype)
+    )
+    f = jax.jit(
+        lambda ec: jnp.sum(hex8_stiffness_pallas(ec, lam, mu, block_e=512))
+    )
+    float(f(ecoords))
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = f(ecoords)
+    float(out)
+    dt = (time.perf_counter() - t0) / iters
+    return ne / dt, dt
+
+
 def main():
+    baseline, how = measure_reference_baseline()
+    log(f"reference 64-core baseline: {baseline:.3e} elems/sec ({how})")
     ne_rate, per_iter = bench_element_stiffness()
-    log(f"hex8 stiffness: {ne_rate:.3e} elems/sec ({per_iter * 1e3:.2f} ms/iter)")
+    log(f"hex8 stiffness (XLA): {ne_rate:.3e} elems/sec "
+        f"({per_iter * 1e3:.2f} ms/iter)")
+    try:
+        import signal
+
+        def _t(s, f):
+            raise TimeoutError("pallas kernel timed out")
+
+        signal.signal(signal.SIGALRM, _t)
+        signal.alarm(180)
+        try:
+            p_rate, p_dt = bench_element_stiffness_pallas()
+            log(f"hex8 stiffness (Pallas): {p_rate:.3e} elems/sec "
+                f"({p_dt * 1e3:.2f} ms/iter)")
+            ne_rate = max(ne_rate, p_rate)
+        finally:
+            signal.alarm(0)
+    except Exception as e:
+        log(f"pallas headline skipped: {e!r}")
     # Emit the headline FIRST: the TPU runtime behind the axon relay can
     # wedge on very large compiles, and a hung secondary benchmark must not
     # cost the recorded metric.
@@ -166,7 +242,7 @@ def main():
                 "metric": "hex8_element_stiffness_throughput",
                 "value": round(ne_rate, 1),
                 "unit": "elems/sec",
-                "vs_baseline": round(ne_rate / REFERENCE_64CORE_ELEMS_PER_SEC, 3),
+                "vs_baseline": round(ne_rate / baseline, 3),
             }
         ),
         flush=True,

@@ -54,6 +54,58 @@ def quad_strip_deck(x_nels: int = 10, y_nels: int = 1) -> str:
     return "\n".join(lines) + "\n"
 
 
+def cohesive_interface_deck(
+    nx: int = 8,
+    ny_half: int = 4,
+    open_disp: float = 0.004,
+    t: float = 1.0,
+    dt: float = 0.25,
+    E: float = 3640.0,
+    nu: float = 0.3,
+    coh_props: Tuple[float, ...] = (100.0, 0.01, 0.01, 1.0, 0.0, 0.0),
+) -> str:
+    """Canonical-format .inp deck for the cohesive interface problem (same
+    topology as cohesive_interface_problem) — two quad blocks glued by nx
+    cohesive elements, bottom clamped, top edge ramped open."""
+    p = cohesive_interface_problem(
+        nx, ny_half, E=E, nu=nu, t=t, dt=dt, open_disp=open_disp,
+        coh_props=coh_props,
+    )
+    qua = p.blocks["qua"]
+    coh = p.blocks["coh"]
+    nbcs_nodes = {}
+    for d, v in zip(p.bc_dofs.tolist(), p.bc_vals.tolist()):
+        node, comp = divmod(d, 2)
+        flags, vals = nbcs_nodes.setdefault(node, ([1, 1], [0.0, 0.0]))
+        flags[comp] = 0
+        vals[comp] = v
+    lines = [
+        "implicit 2 20",
+        f"{p.nels} {p.nnds} 1 1 0 0 0 {len(nbcs_nodes)}",
+        f"{t} {dt} 1 1",
+        "",
+    ]
+    for i in range(qua.ne):
+        n = qua.conn[i] + 1
+        lines.append(f"qua {n[0]} {n[1]} {n[2]} {n[3]} 1 0")
+    for i in range(coh.ne):
+        n = coh.conn[i] + 1
+        lines.append(f"coh {n[0]} {n[1]} {n[2]} {n[3]} 0 1")
+    lines.append("")
+    for xy in p.coords:
+        lines.append(f"{xy[0]:.8f} {xy[1]:.8f}")
+    lines.append("")
+    lines.append(f"{E} {nu} 1.0E18 1.0 3000.0")
+    lines.append("1 " + " ".join(str(v) for v in coh_props))
+    lines.append("")
+    for node in sorted(nbcs_nodes):
+        flags, vals = nbcs_nodes[node]
+        lines.append(
+            f"{node + 1} {flags[0]} {flags[1]} {vals[0]} {vals[1]}"
+        )
+    return "\n".join(lines) + "\n"
+
+
 def _grid_nodes_2d(nx: int, ny: int, lx: float, ly: float) -> np.ndarray:
     xs = np.linspace(0.0, lx, nx + 1)
     ys = np.linspace(0.0, ly, ny + 1)
