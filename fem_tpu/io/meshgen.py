@@ -93,7 +93,7 @@ def cohesive_interface_deck(
         lines.append(f"coh {n[0]} {n[1]} {n[2]} {n[3]} 0 1")
     lines.append("")
     for xy in p.coords:
-        lines.append(f"{xy[0]:.8f} {xy[1]:.8f}")
+        lines.append(f"{xy[0]:.17g} {xy[1]:.17g}")
     lines.append("")
     lines.append(f"{E} {nu} 1.0E18 1.0 3000.0")
     lines.append("1 " + " ".join(str(v) for v in coh_props))

@@ -31,11 +31,16 @@ def test_el_test_tractions():
 
 
 @needs_ref
-def test_two_quads_nceqs_rejected():
-    """nceqs=1 decks are rejected with a clear error (the reference's nceqs
-    path reads unallocated memory, SURVEY.md §2d.4)."""
-    with pytest.raises((NotImplementedError, ValueError)):
-        pm.load(f"{REF}/two_quads_qs.inp")
+def test_two_quads_legacy_misparse_matches_reference():
+    """two_quads_qs.inp predates the cohesive-material split: its 4th header
+    count is labeled num_constraint_eqns but the canonical 8-count format
+    (m_io.F90:17) — and therefore both the current reference parser and ours
+    — reads it as ncohmats. The deck is consumed the same (mis)way the
+    reference would: one "cohesive material" swallowed from the BC block."""
+    p = pm.load(f"{REF}/two_quads_qs.inp")
+    assert p.coh_props.shape[0] == 1
+    assert p.blocks["coh"].ne == 2
+    assert p.has_cohesive
 
 
 def test_cohesive_interface_deck_roundtrip():
@@ -46,6 +51,7 @@ def test_cohesive_interface_deck_roundtrip():
     res = stepper.run(p, Config())
     assert np.isfinite(res.aggregate_u).all()
     # deck and programmatic builds agree exactly under the same solver
+    # (the deck writer emits full-precision coordinates)
     p2 = meshgen.cohesive_interface_problem(6, 3, open_disp=0.004, dt=0.5)
     res2 = stepper.run(p2, Config())
     np.testing.assert_array_equal(res.aggregate_u, res2.aggregate_u)
