@@ -29,8 +29,8 @@ def main(argv=None) -> int:
     )
     ap.add_argument("--quirks", action="store_true",
                     help="replicate reference cohesive defects bit-for-bit")
-    ap.add_argument("--formulation", default="reference",
-                    choices=["reference", "standard"])
+    ap.add_argument("--formulation", default="auto",
+                    choices=["reference", "standard", "total", "auto"])
     ap.add_argument("-o", "--output-prefix", default="",
                     help="directory/prefix for VTK output")
     ap.add_argument("--checkpoint-dir", default=None,

@@ -40,7 +40,12 @@ class Config:
         dominated initial residual makes the relative tolerance trivially
         satisfiable. "standard" is the textbook incremental residual
         R(du) = K_el*du - F_ext - F_coh(aggregate_u + du) with consistent
-        Jacobian (quadratic convergence). "auto" (default): "reference" when
+        Jacobian (quadratic convergence). "total" solves the TRUE equilibrium
+        K u = F_ext_cumulative(t) + F_coh(u) at each time - the reference's
+        incremental scheme re-applies the total cohesive force as a load
+        every step (sum_j F_coh(u_j) instead of F_coh(u_final)), which
+        drifts over multiple increments; "total" is what reproduces the
+        Abaqus UEL cross-validation. "auto" (default): "reference" when
         the penalty BC path is active (deck parity), "standard" otherwise
         (production large-scale path); both fixed points agree to <1% on the
         shipped-deck class.

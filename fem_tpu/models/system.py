@@ -195,10 +195,36 @@ class System:
             F = F.at[self.trac_dofs.reshape(-1)].add(contrib.reshape(-1))
         return F
 
+    def rhs_cumulative(self, t_end):
+        """Total external load applied up to t_end: fraction
+        overlap([0, t_end], [t1, t2]) / (t2 - t1) of every load. Used by the
+        total-equilibrium formulation (the per-step rhs() fractions sum to
+        exactly this)."""
+        t_end = jnp.asarray(t_end, dtype=self.dtype)
+        zero = jnp.zeros((), dtype=self.dtype)
+        F = jnp.zeros(self.ndof, dtype=self.dtype)
+        if self.force_dofs.shape[0]:
+            frac = _window_fraction(zero, t_end, self.force_t1, self.force_t2)
+            contrib = self.force_vec * frac[:, None]
+            F = F.at[self.force_dofs.reshape(-1)].add(contrib.reshape(-1))
+        if self.trac_dofs.shape[0]:
+            frac = _window_fraction(zero, t_end, self.trac_t1, self.trac_t2)
+            contrib = self.trac_nodal_vec * frac[:, None]
+            nps = self.trac_dofs.shape[1]
+            contrib = jnp.broadcast_to(
+                contrib[:, None, :], (contrib.shape[0], nps, self.pdim)
+            )
+            F = F.at[self.trac_dofs.reshape(-1)].add(contrib.reshape(-1))
+        return F
+
     def bc_step_vals(self):
         """Per-step prescribed displacement: bcval * dt / t — the linear ramp
         (EnforceBCForce, m_global.F90:451)."""
         return self.bc_vals * (self.dt / self.t_total)
+
+    def bc_total_vals(self, t_end):
+        """Total prescribed displacement at t_end under the linear ramp."""
+        return self.bc_vals * (jnp.asarray(t_end, dtype=self.dtype) / self.t_total)
 
     # ---------------- cohesive ----------------
 

@@ -139,6 +139,90 @@ def solve_step(
     return NewtonResult(du=du, iters=iters, resnorm=rnorm, converged=converged)
 
 
+def solve_step_total(
+    system: System,
+    config: Config,
+    aggregate_u,
+    du0,
+    t_end,
+):
+    """True-equilibrium Newton for the cohesive step (formulation="total").
+
+    The reference's incremental scheme re-applies the TOTAL cohesive force
+    as a load every increment (CalcResidual copies Vec_F and adds
+    F_coh(aggregate+du) each step, m_global.F90:186-206, while the elastic
+    term only sees the increment), so over k steps it solves
+    K u = F_ext + sum_j F_coh(u_j) — a drifting approximation, visible in
+    its own captured log where u grows linearly under constant BCs. This
+    solver instead converges the actual equilibrium at time t_end:
+
+        R(u) = K_el u - F_ext_cumulative(t_end) - F_coh(u),   u = agg + du
+
+    with consistent Jacobian K_el + K_coh(u), eliminated BCs pinned to the
+    total ramp value. This is what matches the Abaqus UEL cross-validation.
+    """
+    quirks = config.quirks
+    bc_dofs = system.bc_dofs
+    bc_vals = system.bc_total_vals(t_end)
+    n = system.ndof
+    bc_mask = jnp.zeros(n, dtype=bool).at[bc_dofs].set(True)
+    u_bc = jnp.zeros(n, dtype=system.dtype).at[bc_dofs].set(bc_vals)
+    F_ext = system.rhs_cumulative(t_end)
+
+    K_el = system.dense_K()
+
+    def residual(u):
+        F = F_ext + system.coh_force(u, quirks)
+        R = K_el @ u - F
+        return jnp.where(bc_mask, u - u_bc, R)
+
+    def jacobian(u):
+        J = K_el + system.coh_stiffness_dense(u, quirks)
+        J = jnp.where(bc_mask[:, None] | bc_mask[None, :], 0.0, J)
+        return J.at[bc_dofs, bc_dofs].set(1.0)
+
+    def pin(u):
+        mf = bc_mask.astype(u.dtype)
+        return u * (1.0 - mf) + u_bc * mf
+
+    u = pin(aggregate_u + du0)
+    R = residual(u)
+    r0 = float(jnp.linalg.norm(R))
+    rnorm = r0
+    tol = max(config.newton_rtol * r0, config.newton_atol)
+    iters = 0
+    converged = rnorm <= tol
+    while not converged and iters < config.newton_maxit:
+        J = jacobian(u)
+        delta = _robust_solve(J, -R)
+        lam = 1.0
+        best_lam, best_r = None, rnorm
+        for _ in range(25):
+            r_trial = float(jnp.linalg.norm(residual(pin(u + lam * delta))))
+            if jnp.isfinite(jnp.asarray(r_trial)) and r_trial < best_r:
+                best_lam, best_r = lam, r_trial
+                if r_trial <= (1.0 - 1e-4 * lam) * rnorm:
+                    break
+            lam *= 0.5
+        if best_lam is None:
+            break
+        u_new = pin(u + best_lam * delta)
+        step_norm = float(jnp.linalg.norm(u_new - u))
+        u = u_new
+        iters += 1
+        R = residual(u)
+        rnorm = float(jnp.linalg.norm(R))
+        if rnorm <= tol:
+            converged = True
+            break
+        if step_norm <= config.newton_stol * max(float(jnp.linalg.norm(u)), 1e-300):
+            converged = True
+            break
+
+    return NewtonResult(du=u - aggregate_u, iters=iters, resnorm=rnorm,
+                        converged=converged)
+
+
 def solve_step_matfree(
     system: System,
     config: Config,

@@ -121,7 +121,11 @@ def run(
             F = F + system.creep_force(creep_state)
 
         if nonlinear:
-            if solver_kind == "direct":
+            if config.formulation == "total":
+                res = newton.solve_step_total(
+                    system, config, aggregate_u, du, t_init + problem.dt
+                )
+            elif solver_kind == "direct":
                 res = newton.solve_step(
                     system, config, aggregate_u, du, F, bc_mode=bc_mode
                 )
