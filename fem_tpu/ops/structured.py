@@ -203,6 +203,94 @@ def matvec_sharded(op: StencilOperator, u, mesh, axis=None):
     )(u)
 
 
+# ---------------- DOF-sharded (halo-exchange) layout ----------------
+#
+# matvec_sharded above replicates the DOF vector and psums the full grid —
+# simple, but O(ndof) communication and O(ndof) memory per device. The
+# block layout here shards the VECTORS too ("TP over the linear-algebra
+# dimension", SURVEY.md §2c): device d owns node planes [d*c, d*c+c] of the
+# leading axis (one plane overlapped with the next device), and a matvec
+# communicates exactly TWO boundary planes via ppermute — the classical
+# halo exchange, riding ICI.
+
+
+def to_blocks(op: StencilOperator, u, nd: int):
+    """(ndof,) -> (nd, c+1, *rest, pdim) overlapping slab blocks."""
+    shape = op.shape
+    pdim = op.pdim
+    cells_x = shape[0] - 1
+    if cells_x % nd:
+        raise ValueError(f"{cells_x} cells not divisible by {nd}")
+    c = cells_x // nd
+    grid = u.reshape(*shape, pdim)
+    return jnp.stack([grid[d * c:d * c + c + 1] for d in range(nd)])
+
+
+def from_blocks(op: StencilOperator, blocks):
+    """Inverse of to_blocks (drops the duplicated planes)."""
+    nd = blocks.shape[0]
+    parts = [blocks[d, :-1] for d in range(nd - 1)] + [blocks[nd - 1]]
+    return jnp.concatenate(parts, axis=0).reshape(-1)
+
+
+def block_weights(op: StencilOperator, nd: int, dtype):
+    """Per-entry weights for sharded dot products: duplicated planes count
+    once (first plane of every block except block 0 gets weight 0)."""
+    shape = op.shape
+    pdim = op.pdim
+    c = (shape[0] - 1) // nd
+    w = np.ones((nd, c + 1) + shape[1:] + (pdim,), dtype=np.float64)
+    w[1:, 0] = 0.0
+    return jnp.asarray(w, dtype=dtype)
+
+
+def halo_matvec(op: StencilOperator, u_blocks, mesh, axis=None):
+    """K @ u on the block layout: local stencil apply + two one-plane
+    ppermutes to reconcile the shared boundary planes. u_blocks is sharded
+    P(axis) on its leading (device) dimension; materials must be scalar or
+    pre-blocked (scalar supported here)."""
+    try:
+        from jax import shard_map
+    except ImportError:  # pragma: no cover
+        from jax.experimental.shard_map import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    if op.lam.ndim != 0:
+        raise NotImplementedError("halo matvec supports scalar materials")
+    axis = axis or mesh.axis_names[0]
+    nd = mesh.devices.size
+    local_shape = u_blocks.shape[1:-1]  # (c+1, *rest)
+    pdim = op.pdim
+    local_op = StencilOperator(op.k_lam, op.k_mu, op.lam, op.mu,
+                               shape=local_shape)
+
+    def local(ub):
+        slab = ub[0]  # (c+1, *rest, pdim)
+        f = matvec(local_op, slab.reshape(-1)).reshape(slab.shape)
+        # send my FIRST plane's partial value to the left neighbor, which
+        # adds it into its LAST plane (the same physical plane)
+        nd_ = jax.lax.axis_size(axis)
+        idx = jax.lax.axis_index(axis)
+        left = [(i, (i - 1) % nd_) for i in range(nd_)]
+        from_right = jax.lax.ppermute(f[0], axis, left)
+        summed_last = f[-1] + from_right
+        # devices 0..nd-2 get the true value for their last plane; device
+        # nd-1's incoming chunk is block 0's first plane (true boundary,
+        # no neighbor) — keep its own value there.
+        f = f.at[-1].set(jnp.where(idx < nd_ - 1, summed_last, f[-1]))
+        # propagate the reconciled plane right so the duplicated first
+        # planes match: first plane of d>0 := last plane of d-1
+        right = [(i, (i + 1) % nd_) for i in range(nd_)]
+        from_left = jax.lax.ppermute(f[-1], axis, right)
+        f = f.at[0].set(jnp.where(idx > 0, from_left, f[0]))
+        return f[None]
+
+    return shard_map(
+        local, mesh=mesh, in_specs=(P(axis),), out_specs=P(axis),
+        check_vma=False,
+    )(u_blocks)
+
+
 def diag(op: StencilOperator):
     """Diagonal of K via the same slice-scatter with k_ref's diagonal."""
     pdim = op.pdim
