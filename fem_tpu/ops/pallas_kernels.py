@@ -8,8 +8,16 @@ point loop is unrolled with the dN tables baked in as constants, and the
 symmetric gradient-correlation tensor H (300 unique rows) is built with
 constant one-hot *selection matmuls* — the MXU performs what would otherwise
 be an irregular row-gather, and XLA's padded-intermediate lowering is
-avoided entirely. All matmuls run at Precision.HIGHEST (TPU f32 matmuls
-default to bf16 passes).
+avoided entirely.
+
+Status: numerically exact in interpret mode (tests); on the real-TPU Mosaic
+backend the kernel compiles and runs, but Mosaic rounds matmul INPUTS to
+bf16 regardless of precision/preferred_element_type, so the one-hot
+selection matmuls cost ~1e-3 relative error, and the chipless AOT compile
+helper in this image takes ~5 minutes on the unrolled body. The XLA
+batch-last kernel (stiffness.element_stiffness_lame_batchlast) is therefore
+the production path; this kernel is the Pallas implementation baseline for
+a future exact-gather variant.
 
 Use `interpret=True` for CPU-exact testing.
 """
@@ -35,8 +43,11 @@ from fem_tpu.ops import elements as element_lib
 
 _HIGH = jax.lax.Precision.HIGHEST
 _ET = element_lib.get("hex")
-_DN = np.asarray(_ET.dN)  # (8 ip, 3 p, 8 a)
-_W = np.asarray(_ET.weights)
+# dN as nested PYTHON floats: numpy f64 scalars would promote the f32
+# lane vectors to f64 under jax_enable_x64 (weakly-typed python floats
+# don't).
+_DN = [[[float(v) for v in row] for row in ip] for ip in np.asarray(_ET.dN)]
+_W = [float(w) for w in np.asarray(_ET.weights)]
 
 # Unique upper-triangle (r<=c) dof pairs of the symmetric 24x24 element
 # matrix; H row i holds sum_ip s * dNx[dof r_i] * dNx[dof c_i], where dof
@@ -74,47 +85,72 @@ for r in range(24):
                 _A_TR[o, _h_index(a * 3 + k, b * 3 + k)] += 1.0
 
 
-def _kernel(ec_ref, lam_ref, mu_ref, dn_ref, selr_ref, selc_ref,
+def _kernel(ec_ref, lam_ref, mu_ref, selr_ref, selc_ref,
             alam_ref, amu_ref, atr_ref, out_ref):
+    # Mosaic supports only 2D matmuls and elementwise vector ops inside
+    # kernels — the tiny per-element contractions (J = dN X over a=8,
+    # dNx = J^-1 dN over q=3) are fully unrolled with the dN table baked in
+    # as Python floats; the large reshuffles are plain (M, BE) matmuls.
     dtype = ec_ref.dtype
     be = ec_ref.shape[1]
-    x = ec_ref[:].reshape(3, 8, be)  # (d, a, e)
+
+    def X(d, a):
+        return ec_ref[d * 8 + a, :]
+
     h = jnp.zeros((_NPAIR, be), dtype=dtype)
     for ip in range(8):
-        dN = dn_ref[ip * 3:(ip + 1) * 3, :]  # (3 p, 8 a)
-        J = jnp.einsum("pa,dae->pde", dN, x, precision=_HIGH)  # (p, d, e)
-        c00 = J[1, 1] * J[2, 2] - J[1, 2] * J[2, 1]
-        c01 = J[0, 2] * J[2, 1] - J[0, 1] * J[2, 2]
-        c02 = J[0, 1] * J[1, 2] - J[0, 2] * J[1, 1]
-        c10 = J[1, 2] * J[2, 0] - J[1, 0] * J[2, 2]
-        c11 = J[0, 0] * J[2, 2] - J[0, 2] * J[2, 0]
-        c12 = J[0, 2] * J[1, 0] - J[0, 0] * J[1, 2]
-        c20 = J[1, 0] * J[2, 1] - J[1, 1] * J[2, 0]
-        c21 = J[0, 1] * J[2, 0] - J[0, 0] * J[2, 1]
-        c22 = J[0, 0] * J[1, 1] - J[0, 1] * J[1, 0]
-        det = J[0, 0] * c00 + J[0, 1] * c10 + J[0, 2] * c20
+        dN = _DN[ip]  # (3 p, 8 a) python floats
+        J = [[None] * 3 for _ in range(3)]
+        for p in range(3):
+            for d in range(3):
+                acc = dN[p][0] * X(d, 0)
+                for a in range(1, 8):
+                    acc = acc + dN[p][a] * X(d, a)
+                J[p][d] = acc
+        c00 = J[1][1] * J[2][2] - J[1][2] * J[2][1]
+        c01 = J[0][2] * J[2][1] - J[0][1] * J[2][2]
+        c02 = J[0][1] * J[1][2] - J[0][2] * J[1][1]
+        c10 = J[1][2] * J[2][0] - J[1][0] * J[2][2]
+        c11 = J[0][0] * J[2][2] - J[0][2] * J[2][0]
+        c12 = J[0][2] * J[1][0] - J[0][0] * J[1][2]
+        c20 = J[1][0] * J[2][1] - J[1][1] * J[2][0]
+        c21 = J[0][1] * J[2][0] - J[0][0] * J[2][1]
+        c22 = J[0][0] * J[1][1] - J[0][1] * J[1][0]
+        det = J[0][0] * c00 + J[0][1] * c10 + J[0][2] * c20
         invd = 1.0 / det
-        inv = jnp.stack(
-            [
-                jnp.stack([c00, c01, c02]),
-                jnp.stack([c10, c11, c12]),
-                jnp.stack([c20, c21, c22]),
-            ]
-        ) * invd  # (p, q, e)
-        dNx_pa = jnp.einsum("pqe,qa->pae", inv, dN, precision=_HIGH)
-        dof_rows = jnp.transpose(dNx_pa, (1, 0, 2)).reshape(24, be)  # a*3+p
-        s = det * float(_W[ip])
-        dr = jnp.dot(selr_ref[:], dof_rows, precision=_HIGH)
-        dc = jnp.dot(selc_ref[:], dof_rows, precision=_HIGH)
+        inv = [
+            [c00 * invd, c01 * invd, c02 * invd],
+            [c10 * invd, c11 * invd, c12 * invd],
+            [c20 * invd, c21 * invd, c22 * invd],
+        ]
+        # dof row r = a*3+p holds dNx[p, a]
+        rows = []
+        for a in range(8):
+            for p in range(3):
+                rows.append(
+                    inv[p][0] * dN[0][a]
+                    + inv[p][1] * dN[1][a]
+                    + inv[p][2] * dN[2][a]
+                )
+        dof_rows = jnp.stack(rows)  # (24, be)
+        s = det * _W[ip]
+        dr = jnp.dot(selr_ref[:], dof_rows, precision=_HIGH,
+                     preferred_element_type=dtype)
+        dc = jnp.dot(selc_ref[:], dof_rows, precision=_HIGH,
+                     preferred_element_type=dtype)
         h = h + s[None, :] * dr * dc
     lam = lam_ref[0, :]
     mu = mu_ref[0, :]
     out = (
-        lam[None, :] * jnp.dot(alam_ref[:], h, precision=_HIGH)
+        lam[None, :]
+        * jnp.dot(alam_ref[:], h, precision=_HIGH,
+                  preferred_element_type=dtype)
         + mu[None, :]
         * (
-            jnp.dot(amu_ref[:], h, precision=_HIGH)
-            + jnp.dot(atr_ref[:], h, precision=_HIGH)
+            jnp.dot(amu_ref[:], h, precision=_HIGH,
+                    preferred_element_type=dtype)
+            + jnp.dot(atr_ref[:], h, precision=_HIGH,
+                      preferred_element_type=dtype)
         )
     )
     out_ref[:] = out
@@ -143,29 +179,30 @@ def hex8_stiffness_pallas(ecoords_l, lam, mu, block_e: int = 256,
 
     mem = dict(memory_space=pltpu.VMEM) if (_HAS_PLTPU and not interpret) else {}
 
+    # index maps must return uniformly-typed indices: a literal 0 is i64
+    # under jax_enable_x64 while the grid index is i32, and Mosaic fails to
+    # legalize the mixed (i64, i32) func.return.
     def const_spec(shape):
-        return pl.BlockSpec(shape, lambda i: (0, 0), **mem)
+        return pl.BlockSpec(shape, lambda i: (i * 0, i * 0), **mem)
 
-    dn = jnp.asarray(_DN.reshape(24, 8), dtype)
     out = pl.pallas_call(
         _kernel,
         grid=(ne_pad // block_e,),
         in_specs=[
-            pl.BlockSpec((24, block_e), lambda i: (0, i), **mem),
-            pl.BlockSpec((1, block_e), lambda i: (0, i), **mem),
-            pl.BlockSpec((1, block_e), lambda i: (0, i), **mem),
-            const_spec((24, 8)),
+            pl.BlockSpec((24, block_e), lambda i: (i * 0, i), **mem),
+            pl.BlockSpec((1, block_e), lambda i: (i * 0, i), **mem),
+            pl.BlockSpec((1, block_e), lambda i: (i * 0, i), **mem),
             const_spec((_NPAIR, 24)),
             const_spec((_NPAIR, 24)),
             const_spec((576, _NPAIR)),
             const_spec((576, _NPAIR)),
             const_spec((576, _NPAIR)),
         ],
-        out_specs=pl.BlockSpec((576, block_e), lambda i: (0, i), **mem),
+        out_specs=pl.BlockSpec((576, block_e), lambda i: (i * 0, i), **mem),
         out_shape=jax.ShapeDtypeStruct((576, ne_pad), dtype),
         interpret=interpret,
     )(
-        ec, lam.reshape(1, ne_pad), mu.reshape(1, ne_pad), dn,
+        ec, lam.reshape(1, ne_pad), mu.reshape(1, ne_pad),
         jnp.asarray(_SEL_R, dtype), jnp.asarray(_SEL_C, dtype),
         jnp.asarray(_A_LAM, dtype), jnp.asarray(_A_MU, dtype),
         jnp.asarray(_A_TR, dtype),

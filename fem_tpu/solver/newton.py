@@ -258,16 +258,21 @@ def solve_step_matfree(
         )
         return out
 
+    mf = bc_mask.astype(F_ext.dtype)
+    keep = 1.0 - mf
+
     def residual(du):
+        # float-mask arithmetic: bool selects on matvec outputs miscompile
+        # on TPU at large sizes (see cg.masked_operator)
         F = F_ext + system.coh_force(aggregate_u + du, quirks)
         if reference_form:
             R = jac_matvec(du, du) - F
         else:
             R = system.matvec_fused(du) - F
-        return jnp.where(bc_mask, du - ubc, R)
+        return R * keep + (du - ubc) * mf
 
     def pin(du):
-        return jnp.where(bc_mask, ubc, du)
+        return du * keep + ubc * mf
 
     du = pin(du0)
     R = residual(du)
