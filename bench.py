@@ -216,6 +216,21 @@ def main():
     ne_rate, per_iter = bench_element_stiffness()
     log(f"hex8 stiffness (XLA): {ne_rate:.3e} elems/sec "
         f"({per_iter * 1e3:.2f} ms/iter)")
+    # Emit the headline IMMEDIATELY after the (reliable) XLA measurement:
+    # everything after this point — the Pallas kernel's ~5-minute Mosaic
+    # compile, the big solve — can hang the fragile TPU runtime
+    # un-interruptibly, and must never cost the recorded metric.
+    print(
+        json.dumps(
+            {
+                "metric": "hex8_element_stiffness_throughput",
+                "value": round(ne_rate, 1),
+                "unit": "elems/sec",
+                "vs_baseline": round(ne_rate / baseline, 3),
+            }
+        ),
+        flush=True,
+    )
     try:
         import signal
 
@@ -228,25 +243,10 @@ def main():
             p_rate, p_dt = bench_element_stiffness_pallas()
             log(f"hex8 stiffness (Pallas): {p_rate:.3e} elems/sec "
                 f"({p_dt * 1e3:.2f} ms/iter)")
-            ne_rate = max(ne_rate, p_rate)
         finally:
             signal.alarm(0)
     except Exception as e:
         log(f"pallas headline skipped: {e!r}")
-    # Emit the headline FIRST: the TPU runtime behind the axon relay can
-    # wedge on very large compiles, and a hung secondary benchmark must not
-    # cost the recorded metric.
-    print(
-        json.dumps(
-            {
-                "metric": "hex8_element_stiffness_throughput",
-                "value": round(ne_rate, 1),
-                "unit": "elems/sec",
-                "vs_baseline": round(ne_rate / baseline, 3),
-            }
-        ),
-        flush=True,
-    )
     # The ~1M-DOF MG-IR solve is opt-in: the axon TPU runtime in this image
     # wedges non-deterministically under the multigrid workload (loop-state
     # miscompiles and worker crashes documented in fem_tpu/solver/cg.pcg_host
