@@ -25,7 +25,7 @@ This is the pure-Python host-side parser; the native C++ mesh engine
 from __future__ import annotations
 
 import dataclasses
-from typing import Dict, List, Optional, Sequence, TextIO, Union
+from typing import List, Optional, Sequence, TextIO, Union
 
 import numpy as np
 

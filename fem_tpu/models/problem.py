@@ -12,7 +12,7 @@ device with the requested dtype/sharding.
 from __future__ import annotations
 
 import dataclasses
-from typing import Dict, List, Optional
+from typing import Dict, List
 
 import numpy as np
 

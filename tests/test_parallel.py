@@ -112,3 +112,18 @@ def test_hex_cantilever_small():
     L, E, I = 6.0, 1000.0, 1.0 * 1.0**3 / 12.0
     delta_eb = 1.0 * L**3 / (3 * E * I)
     assert 0.3 * delta_eb < -u[tip, 2].mean() < 2.0 * delta_eb
+
+
+def test_sharded_operator_ke_mode(grid_system):
+    """The stored-k_e sharding mode (vs the default fused mode)."""
+    problem, system = grid_system
+    mesh = make_mesh(4)
+    op = ShardedOperator(system, mesh, mode="ke")
+    rng = np.random.default_rng(5)
+    u = jnp.asarray(rng.normal(size=system.ndof))
+    np.testing.assert_allclose(
+        np.asarray(op.matvec(u)), np.asarray(system.matvec(u)), rtol=1e-12
+    )
+    np.testing.assert_allclose(
+        np.asarray(op.diag()), np.asarray(system.diag()), rtol=1e-12
+    )
