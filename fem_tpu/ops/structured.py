@@ -110,6 +110,85 @@ def build(cell_sizes, node_shape, lam, mu, dtype=jnp.float64) -> StencilOperator
     )
 
 
+def detect(problem):
+    """Recognize a uniform box-grid Problem and return a matching
+    StencilOperator spec, or None.
+
+    Accepts the canonical generated orderings (meshgen builders / the
+    reference's make_example strips): 3D nodes numbered z-fastest
+    ((i*(ny+1)+j)*(nz+1)+k), 2D y-major (row*nnx+col). Requires a single
+    continuum block (qua/hex), one material, and uniform spacing per axis.
+    Used by the stepper to route structured decks onto the stencil+multigrid
+    path automatically.
+    """
+    names = [n for n in problem.blocks if n != "coh"]
+    if "coh" in problem.blocks or len(names) != 1:
+        return None
+    b = problem.blocks[names[0]]
+    if b.eltype not in ("qua", "hex"):
+        return None
+    if np.unique(b.mat).size != 1 or int(b.mat[0]) < 0:
+        return None
+    coords = problem.coords
+    pdim = problem.pdim
+    axes = []
+    for j in range(pdim):
+        vals = np.unique(coords[:, j])
+        if vals.size < 2:
+            return None
+        d = np.diff(vals)
+        if not np.allclose(d, d[0], rtol=1e-9, atol=1e-12):
+            return None
+        axes.append(vals)
+    counts = [v.size for v in axes]
+    if int(np.prod(counts)) != problem.nnds:
+        return None
+
+    if pdim == 3:
+        nx, ny, nz = counts
+        gx, gy, gz = np.meshgrid(axes[0], axes[1], axes[2], indexing="ij")
+        lattice = np.stack([gx.reshape(-1), gy.reshape(-1), gz.reshape(-1)], 1)
+        node_shape = (nx, ny, nz)
+        offsets = _HEX_OFFSETS
+
+        def nid(i, j, k):
+            return (i * ny + j) * nz + k
+
+        i, j, k = np.meshgrid(np.arange(nx - 1), np.arange(ny - 1),
+                              np.arange(nz - 1), indexing="ij")
+        idx = [i.reshape(-1), j.reshape(-1), k.reshape(-1)]
+        conn_expect = np.stack(
+            [nid(idx[0] + ox, idx[1] + oy, idx[2] + oz)
+             for ox, oy, oz in offsets], axis=1
+        )
+    else:
+        nx, ny = counts
+        gx, gy = np.meshgrid(axes[0], axes[1], indexing="xy")
+        lattice = np.stack([gx.reshape(-1), gy.reshape(-1)], 1)
+        node_shape = (ny, nx)  # y-major numbering
+        i, j = np.meshgrid(np.arange(ny - 1), np.arange(nx - 1), indexing="ij")
+        n1 = (j + i * nx).reshape(-1)
+        conn_expect = np.stack([n1, n1 + 1, n1 + 1 + nx, n1 + nx], axis=1)
+
+    if not np.allclose(coords, lattice, rtol=1e-9, atol=1e-12):
+        return None
+    if b.conn.shape != conn_expect.shape:
+        return None
+    # element ORDER may differ; compare as sets via lexicographic sort
+    a = np.sort(b.conn, axis=1)
+    e = np.sort(conn_expect.astype(np.int32), axis=1)
+    pa = np.lexsort(a.T)
+    pe = np.lexsort(e.T)
+    if not np.array_equal(a[pa], e[pe]):
+        return None
+    cell_sizes = tuple(float(v[1] - v[0]) for v in axes)
+    if pdim == 2:
+        cell_sizes = (cell_sizes[0], cell_sizes[1])
+    E, nu = problem.mats[int(b.mat[0]), 0], problem.mats[int(b.mat[0]), 1]
+    return dict(cell_sizes=cell_sizes, node_shape=node_shape, E=float(E),
+                nu=float(nu))
+
+
 def _corner_slices(shape, off):
     """Slice of the node grid selecting each element's `off` corner."""
     return tuple(slice(o, o + n - 1) for o, n in zip(off, shape))

@@ -97,17 +97,66 @@ def run(
                 K_unconstrained = K
         else:
             from fem_tpu.ops import operator as op_mod
+            from fem_tpu.ops import structured
 
-            op = op_mod.build(system)
-            diag = op_mod.diag(op)
             rtol, atol, maxiter = config.rtol, config.atol, config.maxiter
+            spec = structured.detect(problem)
+            if spec is not None:
+                # Structured box grid: stencil operator + geometric multigrid,
+                # host-driven CG (lax loops around V-cycles miscompile on the
+                # current TPU backend — cg.pcg_host).
+                from fem_tpu.ops.stiffness import lame
+                from fem_tpu.solver import multigrid
 
-            @jax.jit
-            def _cg_solve(op, F, dg, bc_dofs, bc_vals, x0):
-                return cg.solve_eliminated(
-                    lambda v: op_mod.matvec(op, v), F, dg, bc_dofs, bc_vals,
-                    x0=x0, rtol=rtol, atol=atol, maxiter=maxiter,
+                log("    Structured grid detected: stencil + multigrid path")
+                lam_s, mu_s = lame(
+                    jnp.asarray(spec["E"], dtype=dtype),
+                    jnp.asarray(spec["nu"], dtype=dtype),
                 )
+                st_op = structured.build(
+                    spec["cell_sizes"], spec["node_shape"], lam_s, mu_s,
+                    dtype=dtype,
+                )
+                hier = multigrid.build(st_op, system.bc_dofs)
+                bc_mask = jnp.zeros(n, dtype=bool).at[system.bc_dofs].set(True)
+
+                def _mv(ops, v):
+                    o, _ = ops
+                    mf = bc_mask.astype(v.dtype)
+                    keep = 1.0 - mf
+                    return structured.matvec(o, v * keep) * keep + v * mf
+
+                def _pc(ops, r):
+                    _, h = ops
+                    return multigrid.v_cycle(h, r)
+
+                def _cg_solve(op_unused, F, dg_unused, bc_dofs, bc_vals, x0):
+                    ubc = jnp.zeros(n, dtype=dtype).at[bc_dofs].set(bc_vals)
+                    b = cg.constrained_rhs(
+                        lambda v: structured.matvec(st_op, v), F, bc_mask, ubc
+                    )
+                    res = cg.pcg_host(
+                        _mv, b, _pc, (st_op, hier),
+                        rtol=rtol if rtol else 1e-9,
+                        maxiter=maxiter if maxiter else 400,
+                    )
+                    mf = bc_mask.astype(dtype)
+                    return cg.CGResult(
+                        x=res.x * (1.0 - mf) + ubc * mf,
+                        iters=res.iters, resnorm=res.resnorm,
+                    )
+
+                op = diag = None
+            else:
+                op = op_mod.build(system)
+                diag = op_mod.diag(op)
+
+                @jax.jit
+                def _cg_solve(op, F, dg, bc_dofs, bc_vals, x0):
+                    return cg.solve_eliminated(
+                        lambda v: op_mod.matvec(op, v), F, dg, bc_dofs, bc_vals,
+                        x0=x0, rtol=rtol, atol=atol, maxiter=maxiter,
+                    )
 
     bc_step_vals = system.bc_step_vals()
 

@@ -114,3 +114,68 @@ def test_stencil_solve_matches_direct():
     np.testing.assert_allclose(
         np.asarray(res.x), ref.du, atol=1e-8 * np.abs(ref.du).max()
     )
+
+
+def test_detect_and_stepper_structured_path():
+    """Structured decks are auto-detected and routed onto the stencil+MG
+    path; results match the dense direct solve."""
+    from fem_tpu.config import Config
+    from fem_tpu.solver import stepper
+
+    problem = meshgen.quad_grid_problem(8, 8, lx=2.0, ly=1.0, E=120.0,
+                                        nu=0.3, tip_force=(0.0, -1.0))
+    spec = structured.detect(problem)
+    assert spec is not None
+    assert spec["node_shape"] == (9, 9)
+    np.testing.assert_allclose(spec["cell_sizes"], (0.25, 0.125))
+
+    logs = []
+    res_cg = stepper.run(problem, Config(solver="cg"), log=logs.append)
+    assert any("Structured grid detected" in m for m in logs)
+    res_d = stepper.run(problem, Config(solver="direct"))
+    np.testing.assert_allclose(
+        res_cg.aggregate_u, res_d.aggregate_u,
+        atol=1e-7 * np.abs(res_d.aggregate_u).max(),
+    )
+    np.testing.assert_allclose(
+        res_cg.aggregate_stress, res_d.aggregate_stress,
+        atol=1e-6 * np.abs(res_d.aggregate_stress).max(),
+    )
+
+
+def test_detect_3d_and_rejections():
+    p3 = meshgen.hex_box_problem(4, 3, 2, lx=1.0, ly=1.0, lz=1.0)
+    spec = structured.detect(p3)
+    assert spec is not None and spec["node_shape"] == (5, 4, 3)
+    # non-grid meshes are rejected
+    from fem_tpu.models import problem as pm
+
+    tri_deck = (
+        "implicit 2 10\n1 3 1 0 0 0 0 0\n1.0 1.0\n"
+        "tri 1 2 3 1 0\n0 0\n1 0\n0 1\n100.0 0.3 0 1 0\n"
+    )
+    assert structured.detect(pm.load(tri_deck)) is None
+    # cohesive meshes are rejected
+    pc = meshgen.cohesive_interface_problem(4, 2)
+    assert structured.detect(pc) is None
+    # irregular spacing rejected
+    pj = meshgen.quad_grid_problem(4, 4)
+    pj.coords[7, 0] += 0.01
+    assert structured.detect(pj) is None
+
+
+def test_generated_strip_deck_uses_structured_path():
+    from fem_tpu.config import Config
+    from fem_tpu.models import problem as pm
+    from fem_tpu.solver import stepper
+
+    p = pm.load(meshgen.quad_strip_deck(12, 3))
+    assert structured.detect(p) is not None
+    logs = []
+    res = stepper.run(p, Config(solver="cg"), log=logs.append)
+    assert any("Structured grid" in m for m in logs)
+    ref = stepper.run(p, Config(solver="direct", bc_mode="eliminate"))
+    np.testing.assert_allclose(
+        res.aggregate_u, ref.aggregate_u,
+        atol=1e-7 * np.abs(ref.aggregate_u).max(),
+    )
