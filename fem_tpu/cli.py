@@ -27,6 +27,9 @@ def main(argv=None) -> int:
     ap.add_argument(
         "--bc-mode", default="auto", choices=["auto", "penalty", "eliminate"]
     )
+    ap.add_argument("--plane-stress", action="store_true",
+                    help="treat 2D elements as plane stress (the reference "
+                         "is plane strain only)")
     ap.add_argument("--quirks", action="store_true",
                     help="replicate reference cohesive defects bit-for-bit")
     ap.add_argument("--formulation", default="auto",
@@ -64,12 +67,23 @@ def main(argv=None) -> int:
     from fem_tpu.utils.timing import device_trace
 
     log("Reading input ...")
-    problem = problem_mod.load(args.input_file, backend=args.parser)
+    import os
+
+    if not os.path.exists(args.input_file):
+        print(f"error: input file not found: {args.input_file}",
+              file=sys.stderr)
+        return 1
+    try:
+        problem = problem_mod.load(args.input_file, backend=args.parser)
+    except (ValueError, NotImplementedError) as e:
+        print(f"error: cannot parse {args.input_file}: {e}", file=sys.stderr)
+        return 1
     config = Config(
         dtype=args.dtype,
         solver=args.solver,
         bc_mode=args.bc_mode,
         quirks=args.quirks,
+        plane_stress=args.plane_stress,
         formulation=args.formulation,
         checkpoint_dir=args.checkpoint_dir,
         resume=not args.no_resume,

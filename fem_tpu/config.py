@@ -76,6 +76,7 @@ class Config:
     formulation: str = "auto"
     quirks: bool = False
     viscoelastic: bool = False
+    plane_stress: bool = False
     direct_threshold: int = 4096
     n_devices: Optional[int] = None
     # Checkpoint/resume (SURVEY.md §5: the reference has none; restartable

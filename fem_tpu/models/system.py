@@ -40,9 +40,17 @@ PENALTY = 1.0e30  # PENALTY_PARAM (m_global.F90:15)
 
 
 class System:
-    def __init__(self, problem: Problem, dtype=jnp.float64):
+    def __init__(self, problem: Problem, dtype=jnp.float64,
+                 plane_stress: bool = False):
+        """plane_stress: treat 2D elements as plane stress instead of the
+        reference's plane strain (a beyond-reference option; the Abaqus
+        cross-validation deck uses CPS4 plane-stress elements). Implemented
+        exactly via the classical substitution E' = E(1+2nu)/(1+nu)^2,
+        nu' = nu/(1+nu), under which every plane-strain formula downstream
+        (D, Lame kernels, stress recovery) produces the plane-stress law."""
         self.problem = problem
         self.dtype = dtype
+        self.plane_stress = bool(plane_stress) and problem.pdim == 2
         p = problem
         self.pdim = p.pdim
         self.cpdim = 3 if p.pdim == 2 else 6
@@ -54,6 +62,11 @@ class System:
         # Material table with a zero row appended so mat == -1 (cohesive /
         # unset) indexes E=0, nu=0 — replicating FormLocalK's explicit zeroing.
         mats = np.vstack([p.mats, np.zeros((1, p.mats.shape[1]))])
+        if self.plane_stress:
+            mats = mats.copy()
+            E, nu = mats[:, 0], mats[:, 1]
+            mats[:, 0] = E * (1.0 + 2.0 * nu) / (1.0 + nu) ** 2
+            mats[:, 1] = nu / (1.0 + nu)
         self._mats = mats
 
         self.blocks: Dict[str, dict] = {}

@@ -41,7 +41,7 @@ def run(
     config = config or Config()
     log = log or (lambda msg: None)
     dtype = jnp.dtype(config.dtype)
-    system = System(problem, dtype=dtype)
+    system = System(problem, dtype=dtype, plane_stress=config.plane_stress)
     n = system.ndof
 
     solver_kind = config.resolve_solver(n)
