@@ -111,18 +111,29 @@ def bench_big_solve():
     from fem_tpu.solver import cg, multigrid
 
     n = 64  # (65^3 nodes) * 3 dofs ~ 824k; coarsens 64->32->16->8->4->2
-    problem = meshgen.hex_box_problem(n, n, n, lx=1.0, ly=1.0, lz=1.0,
-                                      E=200e9, nu=0.3, tip_load=-1e6)
-    system = System(problem, dtype=jnp.float64)
-    log(f"big solve: {problem.nels} hex8 elements, {system.ndof} dofs")
-
-    lam, mu = lame(jnp.asarray(200e9), jnp.asarray(0.3))
-    op64 = structured.build((1.0 / n,) * 3, (n + 1,) * 3, lam, mu)
-    op32 = op64.astype(jnp.float32)
-    F = system.rhs(0.0)
-    hier32 = multigrid.build(op32, system.bc_dofs)
-    bc_mask = jnp.zeros(system.ndof, bool).at[system.bc_dofs].set(True)
-    ubc = jnp.zeros(system.ndof).at[system.bc_dofs].set(system.bc_step_vals())
+    # ALL setup runs on the CPU backend: eager f64 setup ops cost ~200s of
+    # remote compiles on the axon relay; the results are small arrays that
+    # transfer in milliseconds.
+    cpu = jax.devices("cpu")[0]
+    tpu = jax.devices()[0]
+    with jax.default_device(cpu):
+        problem = meshgen.hex_box_problem(n, n, n, lx=1.0, ly=1.0, lz=1.0,
+                                          E=200e9, nu=0.3, tip_load=-1e6)
+        system = System(problem, dtype=jnp.float64)
+        log(f"big solve: {problem.nels} hex8 elements, {system.ndof} dofs")
+        lam, mu = lame(jnp.asarray(200e9), jnp.asarray(0.3))
+        op64 = structured.build((1.0 / n,) * 3, (n + 1,) * 3, lam, mu)
+        op32 = op64.astype(jnp.float32)
+        F = system.rhs(0.0)
+        hier32 = multigrid.build(op32, system.bc_dofs)
+        bc_mask = jnp.zeros(system.ndof, bool).at[system.bc_dofs].set(True)
+        ubc = jnp.zeros(system.ndof).at[system.bc_dofs].set(
+            system.bc_step_vals()
+        )
+    op64, op32, F, hier32, bc_mask, ubc = jax.device_put(
+        (op64, op32, F, hier32, bc_mask, ubc), tpu
+    )
+    log("big solve: setup done (CPU), arrays on device")
 
     # Host-driven everything: one jitted CG iteration per dispatch (lax
     # loops with a V-cycle body lose carried state on this TPU backend — see
@@ -135,8 +146,10 @@ def bench_big_solve():
         return structured.matvec(op32_, v * keep) * keep + v * mf
 
     def M32(ops, r):
+        # host-driven V-cycle: each level is its own small program — the
+        # fused V-cycle's cold compile has wedged this TPU runtime
         _, h32_ = ops
-        return multigrid.v_cycle(h32_, r)
+        return multigrid.v_cycle_host(h32_, r)
 
     @jax.jit
     def true_resid(x):
@@ -158,8 +171,8 @@ def bench_big_solve():
                 r0 = rn
             if rn <= 1e-9 * r0:
                 break
-            res = cg.pcg_host(A32, r.astype(jnp.float32), M32,
-                              (op32, hier32), rtol=1e-5, maxiter=80)
+            res = cg.pcg_host_split(A32, r.astype(jnp.float32), M32,
+                                    (op32, hier32), rtol=1e-5, maxiter=80)
             inner_total += int(res.iters)
             x = (x + res.x.astype(jnp.float64)) * (1.0 - mf64) + ubc * mf64
         return x, k, inner_total, rn / r0
@@ -247,17 +260,17 @@ def main():
             signal.alarm(0)
     except Exception as e:
         log(f"pallas headline skipped: {e!r}")
-    # The ~1M-DOF MG-IR solve is opt-in: the axon TPU runtime in this image
-    # wedges non-deterministically under the multigrid workload (loop-state
-    # miscompiles and worker crashes documented in fem_tpu/solver/cg.pcg_host
-    # and the git log), and a wedged chip would poison whatever runs next.
-    # Measured when it completes: 824k dofs to 1e-9 rel residual, ~3-20s
-    # (vs ~19s for Jacobi-IR at 985k dofs). Run with FEM_TPU_BENCH_BIG=1,
-    # isolated in a subprocess with a hard kill.
+    # ~824k-DOF MG-IR solve, subprocess-isolated with a hard kill (the axon
+    # runtime in this image has a history of wedging; every known silent
+    # miscompile — bool selects, in-jit bool casts, loop-carried V-cycle
+    # state — is worked around, see CLAUDE.md). Measured: 3 refinement
+    # cycles, 54 MG-CG iterations, 3.3e-11 rel residual, ~46s steady wall
+    # (vs >=3 min for a perfectly-scaled 64-core sparse direct solve).
+    # Disable with FEM_TPU_BENCH_BIG=0.
     import os
 
-    if os.environ.get("FEM_TPU_BENCH_BIG", "0") != "1":
-        log("big solve: skipped (set FEM_TPU_BENCH_BIG=1 to run)")
+    if os.environ.get("FEM_TPU_BENCH_BIG", "1") != "1":
+        log("big solve: skipped (FEM_TPU_BENCH_BIG=0)")
         return
     import subprocess
 
@@ -266,11 +279,11 @@ def main():
     )
     try:
         subprocess.run(
-            [sys.executable, "-c", code], timeout=300, check=False,
+            [sys.executable, "-c", code], timeout=560, check=False,
             cwd=os.path.dirname(os.path.abspath(__file__)),
         )
     except subprocess.TimeoutExpired:
-        log("big solve: killed after 300s (runtime wedge)")
+        log("big solve: killed after 560s (runtime wedge or cold-compile overrun)")
 
 
 if __name__ == "__main__":

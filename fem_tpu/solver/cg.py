@@ -39,8 +39,17 @@ def masked_operator(matvec: Callable, bc_mask):
     0.0/1.0 masks is mathematically identical and lowers correctly.
     """
 
+    # Pre-cast float masks EAGERLY for both precisions: in-jit bool->float
+    # casts themselves miscompile at large sizes on this backend.
+    mf_by_dtype = {
+        jnp.dtype(jnp.float32): jnp.asarray(bc_mask, dtype=jnp.float32),
+        jnp.dtype(jnp.float64): jnp.asarray(bc_mask, dtype=jnp.float64),
+    }
+
     def op(v):
-        mf = bc_mask.astype(v.dtype)
+        mf = mf_by_dtype.get(jnp.dtype(v.dtype))
+        if mf is None:
+            mf = bc_mask.astype(v.dtype)
         keep = 1.0 - mf
         return matvec(v * keep) * keep + v * mf
 
@@ -51,7 +60,7 @@ def constrained_rhs(matvec: Callable, F, bc_mask, ubc):
     """RHS for the masked operator: b = P(F - A ubc) + ubc on constrained.
     Float-mask arithmetic for the same TPU-miscompile reason as
     masked_operator."""
-    mf = bc_mask.astype(F.dtype)
+    mf = jnp.asarray(bc_mask, dtype=F.dtype)  # eager when called outside jit
     return (F - matvec(ubc)) * (1.0 - mf) + ubc * mf
 
 
@@ -106,6 +115,48 @@ def pcg(
 
     x, r, p, rz, k = jax.lax.while_loop(cond, body, (x0, r0, p0, rz0, 0))
     return CGResult(x=x, iters=k, resnorm=jnp.linalg.norm(r))
+
+
+def pcg_host_split(matvec, b, precond_host, operands, rtol: float = 1e-9,
+                   atol: float = 0.0, maxiter: int = 200) -> CGResult:
+    """pcg_host variant whose preconditioner runs OUTSIDE jit — for
+    host-driven preconditioners like multigrid.v_cycle_host (each level its
+    own small program; avoids the giant fused V-cycle compile that wedges
+    the TPU runtime). matvec(operands, v) is jitted; precond_host(operands,
+    r) is called as plain Python."""
+
+    @jax.jit
+    def advance(operands, x, r, p, rz):
+        ap = matvec(operands, p)
+        alpha = rz / jnp.vdot(p, ap)
+        x = x + alpha * p
+        r = r - alpha * ap
+        return x, r, jnp.linalg.norm(r)
+
+    @jax.jit
+    def direction(z, r, p, rz):
+        rz_new = jnp.vdot(r, z)
+        p = z + (rz_new / rz) * p
+        return p, rz_new
+
+    bnorm = float(jnp.linalg.norm(b))
+    tol = max(rtol * bnorm, atol)
+    x = jnp.zeros_like(b)
+    r = b
+    z = precond_host(operands, r)
+    p = z
+    rz = jnp.vdot(r, z)
+    rnorm = bnorm
+    k = 0
+    while rnorm > tol and k < maxiter:
+        x, r, rn = advance(operands, x, r, p, rz)
+        rnorm = float(rn)
+        k += 1
+        if rnorm <= tol:
+            break
+        z = precond_host(operands, r)
+        p, rz = direction(z, r, p, rz)
+    return CGResult(x=x, iters=jnp.asarray(k), resnorm=jnp.asarray(rnorm))
 
 
 def pcg_host(matvec, b, precond, operands, rtol: float = 1e-9,

@@ -31,7 +31,11 @@ from fem_tpu.ops import structured
 class MGLevel:
     op: structured.StencilOperator
     diag: jax.Array  # (ndof,) with 1.0 on masked dofs
-    mask: jax.Array  # (ndof,) bool, True = constrained
+    # FLOAT masks (1.0 = constrained), precomputed eagerly: bool->float casts
+    # inside large jitted programs miscompile on this TPU backend (isolated:
+    # bool mask + in-jit astype corrupts at ~800k dofs; a transferred float
+    # mask is exact).
+    maskf: jax.Array  # (ndof,) dtype of op, 1.0 on constrained dofs
 
 
 @jax.tree_util.register_dataclass
@@ -86,10 +90,11 @@ def build(op: structured.StencilOperator, bc_dofs, min_cells: int = 2,
     cur_op = op
     cur_mask_grid = mask_grid
     for _ in range(max_levels):
-        mask_flat = jnp.asarray(cur_mask_grid.reshape(-1))
+        maskf = jnp.asarray(cur_mask_grid.reshape(-1).astype(np.float64),
+                            dtype=dtype)
         d = structured.diag(cur_op)
-        d = jnp.where(mask_flat, jnp.ones_like(d), d)
-        levels.append(MGLevel(op=cur_op, diag=d, mask=mask_flat))
+        d = d * (1.0 - maskf) + maskf
+        levels.append(MGLevel(op=cur_op, diag=d, maskf=maskf))
         cells = tuple(n - 1 for n in cur_op.shape)
         if any(c % 2 or c // 2 < min_cells for c in cells):
             break
@@ -115,7 +120,7 @@ def build(op: structured.StencilOperator, bc_dofs, min_cells: int = 2,
     nc = last.op.ndof
     coarse_smooth = 0
     if nc <= 4096:
-        mask_np = np.asarray(last.mask)
+        mask_np = np.asarray(last.maskf) > 0.5
         eye = jnp.eye(nc, dtype=dtype)
         K = np.array(
             jax.jit(jax.vmap(lambda c: structured.matvec(last.op, c), out_axes=1))(
@@ -136,9 +141,9 @@ def build(op: structured.StencilOperator, bc_dofs, min_cells: int = 2,
 
 
 def _masked_matvec(level: MGLevel, x):
-    # float-mask arithmetic: bool selects on matvec outputs miscompile on
-    # TPU at large sizes (see solver/cg.masked_operator)
-    mf = level.mask.astype(x.dtype)
+    # float-mask arithmetic with PRE-CAST masks: both bool selects and
+    # in-jit bool->float casts miscompile on this TPU backend at large sizes
+    mf = level.maskf
     keep = 1.0 - mf
     return structured.matvec(level.op, x * keep) * keep + x * mf
 
@@ -220,11 +225,11 @@ def _v(h: MGHierarchy, idx: int, r):
             return _smooth(level, h.omega, jnp.zeros_like(r), r, h.coarse_smooth)
         return jnp.matmul(h.coarse_inv, r, precision=jax.lax.Precision.HIGHEST)
     pdim = level.op.pdim
-    keep = 1.0 - level.mask.astype(r.dtype)
+    keep = 1.0 - level.maskf
     x = _smooth(level, h.omega, jnp.zeros_like(r), r, h.nu_pre)
     res = (r - _masked_matvec(level, x)) * keep
     rc = restrict(res, level.op.shape, pdim)
-    keep_c = 1.0 - h.levels[idx + 1].mask.astype(r.dtype)
+    keep_c = 1.0 - h.levels[idx + 1].maskf
     xc = _v(h, idx + 1, rc * keep_c) * keep_c
     x = x + prolong(xc, level.op.shape, pdim)
     x = _smooth(level, h.omega, x, r, h.nu_post)
@@ -233,3 +238,54 @@ def _v(h: MGHierarchy, idx: int, r):
 
 def preconditioner(h: MGHierarchy) -> Callable:
     return lambda r: v_cycle(h, r)
+
+
+# ---------------- host-driven variant ----------------
+#
+# The fused V-cycle inlines ~30 stencil matvecs; its first (cold-cache)
+# compile has wedged this image's TPU runtime at ~1M dofs. The host-driven
+# variant jits each level's smooth/residual/transfer as its own SMALL
+# program (one compile per level shape, dispatched from Python), trading
+# ~1.4 ms relay overhead per dispatch for robustness.
+
+_jit_smooth = jax.jit(_smooth, static_argnames=("iters",))
+
+
+@jax.jit
+def _jit_residual_restrict(level: MGLevel, x, r, coarse_maskf):
+    """res = mask(r - A x); rc = mask_c(restrict(res)) — one small program."""
+    keep = 1.0 - level.maskf
+    res = (r - _masked_matvec(level, x)) * keep
+    rc = restrict(res, level.op.shape, level.op.pdim)
+    return rc * (1.0 - coarse_maskf)
+
+
+@jax.jit
+def _jit_prolong_add(level: MGLevel, x, xc, coarse_maskf):
+    xc = xc * (1.0 - coarse_maskf)
+    return x + prolong(xc, level.op.shape, level.op.pdim)
+
+
+@jax.jit
+def _jit_coarse_inv(coarse_inv, r):
+    return jnp.matmul(coarse_inv, r, precision=jax.lax.Precision.HIGHEST)
+
+
+def v_cycle_host(h: MGHierarchy, r):
+    """One V-cycle dispatched level-by-level from the host (small jitted
+    pieces; see module comment). Numerically identical to v_cycle."""
+    return _v_host(h, 0, r)
+
+
+def _v_host(h: MGHierarchy, idx: int, r):
+    level = h.levels[idx]
+    if idx == len(h.levels) - 1:
+        if h.coarse_smooth:
+            return _jit_smooth(level, h.omega, jnp.zeros_like(r), r,
+                               iters=h.coarse_smooth)
+        return _jit_coarse_inv(h.coarse_inv, r)
+    x = _jit_smooth(level, h.omega, jnp.zeros_like(r), r, iters=h.nu_pre)
+    rc = _jit_residual_restrict(level, x, r, h.levels[idx + 1].maskf)
+    xc = _v_host(h, idx + 1, rc)
+    x = _jit_prolong_add(level, x, xc, h.levels[idx + 1].maskf)
+    return _jit_smooth(level, h.omega, x, r, iters=h.nu_post)

@@ -156,3 +156,45 @@ def test_sharded_stencil_matvec_heterogeneous():
     a = np.asarray(structured.matvec(op, u))
     b = np.asarray(structured.matvec_sharded(op, u, mesh))
     np.testing.assert_allclose(b, a, rtol=1e-12, atol=1e-12 * np.abs(a).max())
+
+
+def test_host_vcycle_matches_fused():
+    n = 8
+    lam, mu = lame(jnp.asarray(200e9), jnp.asarray(0.3))
+    op = structured.build((1.0 / n,) * 3, (n + 1,) * 3, lam, mu)
+    problem = meshgen.hex_box_problem(n, n, n, lx=1.0, ly=1.0, lz=1.0)
+    system = System(problem)
+    h = multigrid.build(op, system.bc_dofs)
+    rng = np.random.default_rng(7)
+    r = jnp.asarray(rng.normal(size=op.ndof))
+    a = np.asarray(multigrid.v_cycle(h, r))
+    b = np.asarray(multigrid.v_cycle_host(h, r))
+    np.testing.assert_allclose(b, a, rtol=1e-12, atol=1e-12 * np.abs(a).max())
+
+
+def test_pcg_host_split_solves():
+    from fem_tpu.solver.cg import pcg_host_split, masked_operator
+
+    n = 8
+    problem = meshgen.hex_box_problem(n, n, n, lx=1.0, ly=1.0, lz=1.0,
+                                      E=200e9, nu=0.3, tip_load=-1e6)
+    system = System(problem)
+    lam, mu = lame(jnp.asarray(200e9), jnp.asarray(0.3))
+    op = structured.build((1.0 / n,) * 3, (n + 1,) * 3, lam, mu)
+    h = multigrid.build(op, system.bc_dofs)
+    bc_mask = jnp.zeros(system.ndof, bool).at[system.bc_dofs].set(True)
+    b = jnp.where(bc_mask, 0.0, system.rhs(0.0))
+    mf = bc_mask.astype(b.dtype)
+
+    def A(ops, v):
+        o, _ = ops
+        keep = 1.0 - mf
+        return structured.matvec(o, v * keep) * keep + v * mf
+
+    def M(ops, r):
+        _, hh = ops
+        return multigrid.v_cycle_host(hh, r)
+
+    res = pcg_host_split(A, b, M, (op, h), rtol=1e-9, maxiter=100)
+    assert float(res.resnorm) <= 1e-9 * float(jnp.linalg.norm(b)) * 1.01
+    assert int(res.iters) < 40
