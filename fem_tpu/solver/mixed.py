@@ -54,6 +54,12 @@ def ir_solve(
     ops.structured.matvec for the stencil operator. F: f64 load vector.
     diag32: f32 Jacobi diagonal (bc rows arbitrary). precond32: optional
     f32 preconditioner callable (e.g. a multigrid V-cycle) overriding Jacobi.
+
+    NOTE: this fused form is correct everywhere JAX is correct; on THIS
+    image's TPU backend prefer the host-driven pattern used by
+    bench.bench_big_solve (cg.pcg_host_split + multigrid.v_cycle_host +
+    eagerly pre-cast float masks) — see CLAUDE.md for the backend miscompile
+    catalogue.
     """
     n = op64.ndof
     bc_mask = jnp.zeros(n, dtype=bool).at[bc_dofs].set(True)

@@ -119,30 +119,31 @@ def run(
                 )
                 hier = multigrid.build(st_op, system.bc_dofs)
                 bc_mask = jnp.zeros(n, dtype=bool).at[system.bc_dofs].set(True)
+                # eager float mask: in-jit bool casts miscompile on this TPU
+                # backend at large sizes (CLAUDE.md)
+                mf_s = jnp.asarray(bc_mask, dtype=dtype)
 
                 def _mv(ops, v):
                     o, _ = ops
-                    mf = bc_mask.astype(v.dtype)
-                    keep = 1.0 - mf
-                    return structured.matvec(o, v * keep) * keep + v * mf
+                    keep = 1.0 - mf_s
+                    return structured.matvec(o, v * keep) * keep + v * mf_s
 
                 def _pc(ops, r):
                     _, h = ops
-                    return multigrid.v_cycle(h, r)
+                    return multigrid.v_cycle_host(h, r)
 
                 def _cg_solve(op_unused, F, dg_unused, bc_dofs, bc_vals, x0):
                     ubc = jnp.zeros(n, dtype=dtype).at[bc_dofs].set(bc_vals)
                     b = cg.constrained_rhs(
                         lambda v: structured.matvec(st_op, v), F, bc_mask, ubc
                     )
-                    res = cg.pcg_host(
+                    res = cg.pcg_host_split(
                         _mv, b, _pc, (st_op, hier),
                         rtol=rtol if rtol else 1e-9,
                         maxiter=maxiter if maxiter else 400,
                     )
-                    mf = bc_mask.astype(dtype)
                     return cg.CGResult(
-                        x=res.x * (1.0 - mf) + ubc * mf,
+                        x=res.x * (1.0 - mf_s) + ubc * mf_s,
                         iters=res.iters, resnorm=res.resnorm,
                     )
 
