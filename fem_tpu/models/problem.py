@@ -12,7 +12,7 @@ device with the requested dtype/sharding.
 from __future__ import annotations
 
 import dataclasses
-from typing import Dict, List
+from typing import Dict, List, Optional
 
 import numpy as np
 
@@ -69,6 +69,11 @@ class Problem:
     trac_t1: np.ndarray  # raw deck values (FormRHS divides by dt: m_global.F90:414)
     trac_t2: np.ndarray
     nodal_bw: int = 0
+    # Per-record per-node weights (ntrcs, nps_max): 1.0 for real side nodes,
+    # 0.0 for padding rows when a deck mixes side node counts (e.g. tet tri
+    # faces + hex quad faces). None means "all real" (uniform nps decks and
+    # the meshgen builders).
+    trac_node_w: Optional[np.ndarray] = None
 
     @property
     def nnds(self) -> int:
@@ -213,11 +218,17 @@ class Problem:
         # Tractions -> static nodal-force form (ApplyTraction converts a side
         # traction to equal nodal forces vvec*area/nps, m_global.F90:343-368).
         ntrcs = trac_el.shape[0]
+        trac_node_w = None
         if ntrcs:
-            name0, _ = elem_lookup(int(trac_el[0]))
-            nps0 = element_lib.get(name0).nps
-            trac_dofs = np.zeros((ntrcs, nps0, pdim), dtype=np.int32)
+            # Size by the MAX side node count over all records: a 3D deck may
+            # mix tri faces (3 nodes) and quad faces (4 nodes) (ADVICE r1).
+            # Padded rows point at dof 0 with weight 0.0.
+            nps_max = max(
+                element_lib.get(elem_lookup(int(e))[0]).nps for e in trac_el
+            )
+            trac_dofs = np.zeros((ntrcs, nps_max, pdim), dtype=np.int32)
             trac_nodal = np.zeros((ntrcs, pdim))
+            trac_node_w = np.zeros((ntrcs, nps_max))
             for i in range(ntrcs):
                 name, nodes = elem_lookup(int(trac_el[i]))
                 et = element_lib.get(name)
@@ -225,10 +236,11 @@ class Problem:
                 snodes = nodes[et.sides[side]]
                 area = _side_area(coords[snodes])
                 trac_nodal[i] = trac_vec[i] * area / et.nps
-                trac_dofs[i] = (
+                trac_dofs[i, : et.nps] = (
                     snodes[:, None].astype(np.int64) * pdim
                     + np.arange(pdim)[None, :]
                 )
+                trac_node_w[i, : et.nps] = 1.0
         else:
             trac_dofs = np.zeros((0, 2, pdim), dtype=np.int32)
             trac_nodal = np.zeros((0, pdim))
@@ -240,6 +252,7 @@ class Problem:
             force_vec=force_vec, force_t1=force_t1, force_t2=force_t2,
             trac_dofs=trac_dofs, trac_nodal_vec=trac_nodal,
             trac_t1=trac_t1, trac_t2=trac_t2, nodal_bw=nodal_bw,
+            trac_node_w=trac_node_w,
         )
 
 

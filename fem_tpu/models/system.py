@@ -105,6 +105,12 @@ class System:
         self.force_t2 = jnp.asarray(p.force_t2, dtype=dtype)
         self.trac_dofs = jnp.asarray(p.trac_dofs)
         self.trac_nodal_vec = jnp.asarray(p.trac_nodal_vec, dtype=dtype)
+        # per-node weights: 0.0 on padding rows of mixed-nps traction tables
+        self.trac_node_w = (
+            jnp.asarray(p.trac_node_w, dtype=dtype)
+            if getattr(p, "trac_node_w", None) is not None
+            else jnp.ones(p.trac_dofs.shape[:2], dtype=dtype)
+        )
         # FormRHS divides traction windows by dt (m_global.F90:414-415) —
         # a reference quirk, replicated for deck compatibility.
         self.trac_t1 = jnp.asarray(p.trac_t1 / p.dt, dtype=dtype)
@@ -201,10 +207,7 @@ class System:
         if self.trac_dofs.shape[0]:
             frac = _window_fraction(t_init, t_end, self.trac_t1, self.trac_t2)
             contrib = self.trac_nodal_vec * frac[:, None]  # (nt, pdim)
-            nps = self.trac_dofs.shape[1]
-            contrib = jnp.broadcast_to(
-                contrib[:, None, :], (contrib.shape[0], nps, self.pdim)
-            )
+            contrib = contrib[:, None, :] * self.trac_node_w[:, :, None]
             F = F.at[self.trac_dofs.reshape(-1)].add(contrib.reshape(-1))
         return F
 
@@ -223,10 +226,7 @@ class System:
         if self.trac_dofs.shape[0]:
             frac = _window_fraction(zero, t_end, self.trac_t1, self.trac_t2)
             contrib = self.trac_nodal_vec * frac[:, None]
-            nps = self.trac_dofs.shape[1]
-            contrib = jnp.broadcast_to(
-                contrib[:, None, :], (contrib.shape[0], nps, self.pdim)
-            )
+            contrib = contrib[:, None, :] * self.trac_node_w[:, :, None]
             F = F.at[self.trac_dofs.reshape(-1)].add(contrib.reshape(-1))
         return F
 

@@ -184,9 +184,14 @@ def element_stiffness(ecoords, props, ue, dt, quirks: bool = False):
 
     if quirks:
         # Reference: result += term_n + term_t*scale, where term_n is the raw
-        # normal-column product without sign/shape/weight scaling.
-        term_n = n_[..., :, None] * col_n[..., None, :]  # (ne, nip, 2, 2)
-        term_t = t_[..., :, None] * col_t[..., None, :]
+        # normal-column product without sign/shape/weight scaling
+        # (m_global.F90:829-831). Index roles match the Fortran exactly: the
+        # ROW (dof1) carries the k-column combination
+        # (k_nn n_d1 + k_tn t_d1) and the COLUMN (dof2) carries n/t — NOT the
+        # transpose (ADVICE r1). k_tn == k_nt for Xu-Needleman, so col_n/
+        # col_t are reused.
+        term_n = col_n[..., :, None] * n_[..., None, :]  # (ne, nip, 2, 2)
+        term_t = col_t[..., :, None] * t_[..., None, :]
         ke = (
             jnp.sum(term_n, axis=1)[:, None, None, :, :]
             * jnp.ones((1, 4, 4, 1, 1), dtype=ue.dtype)

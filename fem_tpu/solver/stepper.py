@@ -54,16 +54,23 @@ def run(
     krylov_iters: List[int] = []
     first_step = 1
 
+    resumed_creep = None
+    resumed = False
     if config.checkpoint_dir and config.resume:
         from fem_tpu.utils import checkpoint as ckpt
 
         path = ckpt.latest(config.checkpoint_dir)
         if path is not None:
-            step, agg_u, agg_s, du_np = ckpt.load(path)
+            step, agg_u, agg_s, du_np, creep_np = ckpt.load(path)
             aggregate_u = jnp.asarray(agg_u, dtype=dtype)
             aggregate_stress = jnp.asarray(agg_s, dtype=dtype)
             du = jnp.asarray(du_np, dtype=dtype)
             first_step = step + 1
+            resumed = True
+            resumed_creep = {
+                name: jnp.asarray(sigma, dtype=dtype)
+                for name, sigma in creep_np.items()
+            }
             log(f"Resumed from {path} (next interval {first_step})")
 
     nsteps = problem.nsteps
@@ -78,6 +85,17 @@ def run(
         creep_state = system.creep_state_init()
         if not creep_state:
             creep_state = None
+        elif resumed:
+            # The accumulated per-ip creep stress is part of the restartable
+            # state; resuming without it would silently re-zero the creep
+            # history (ADVICE r1). Old checkpoints without it are refused.
+            if set(resumed_creep) != set(creep_state):
+                raise ValueError(
+                    "checkpoint has no creep state for this viscoelastic "
+                    "run; it predates creep checkpointing — rerun with "
+                    "--no-resume or a fresh --checkpoint-dir"
+                )
+            creep_state = resumed_creep
 
     # Linear path setup: K is constant; factorize/prepare once
     # (the reference configures the KSP once, main.F90:199-214).
@@ -212,7 +230,8 @@ def run(
         if config.checkpoint_dir and k % max(config.checkpoint_every, 1) == 0:
             from fem_tpu.utils import checkpoint as ckpt
 
-            ckpt.save(config.checkpoint_dir, k, aggregate_u, aggregate_stress, du)
+            ckpt.save(config.checkpoint_dir, k, aggregate_u,
+                      aggregate_stress, du, creep_state=creep_state)
 
     return StepResult(
         aggregate_u=np.asarray(aggregate_u),

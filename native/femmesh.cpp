@@ -227,13 +227,25 @@ int fem_parse_deck(const char* text, int64_t len, FemDeck* d) {
     tk.skip_line();
   }
 
+  // Every fixed-count record below ends with skip_line(): the reference's
+  // list-directed READ advances one record per statement (m_io.F90), so
+  // trailing extra tokens on a line are ignored, not consumed as the next
+  // record's values (ADVICE r1 — a pure token stream silently desyncs).
   d->coords = (double*)std::malloc(sizeof(double) * d->nnds * pdim);
-  for (int i = 0; i < d->nnds * pdim; ++i)
-    if (!tk.next_double(d->coords[i])) return fail(d, "bad coordinates");
+  for (int i = 0; i < d->nnds; ++i) {
+    for (int j = 0; j < pdim; ++j)
+      if (!tk.next_double(d->coords[i * pdim + j]))
+        return fail(d, "bad coordinates");
+    tk.skip_line();
+  }
 
   d->mats = (double*)std::malloc(sizeof(double) * d->nmts * 5);
-  for (int i = 0; i < d->nmts * 5; ++i)
-    if (!tk.next_double(d->mats[i])) return fail(d, "bad materials");
+  for (int i = 0; i < d->nmts; ++i) {
+    for (int j = 0; j < 5; ++j)
+      if (!tk.next_double(d->mats[i * 5 + j]))
+        return fail(d, "bad materials");
+    tk.skip_line();
+  }
 
   d->coh_law = (int*)std::malloc(sizeof(int) * d->ncohmats);
   d->coh_props = (double*)std::malloc(sizeof(double) * d->ncohmats * 6);
@@ -244,6 +256,7 @@ int fem_parse_deck(const char* text, int64_t len, FemDeck* d) {
     for (int j = 0; j < 6; ++j)
       if (!tk.next_double(d->coh_props[i * 6 + j]))
         return fail(d, "bad cohesive props");
+    tk.skip_line();
   }
 
   d->bc_node = (int*)std::malloc(sizeof(int) * d->nbcs);
@@ -259,6 +272,7 @@ int fem_parse_deck(const char* text, int64_t len, FemDeck* d) {
     for (int j = 0; j < pdim; ++j)
       if (!tk.next_double(d->bc_vals[i * pdim + j]))
         return fail(d, "bad bc values");
+    tk.skip_line();
   }
 
   d->f_node = (int*)std::malloc(sizeof(int) * d->nfrcs);
@@ -275,6 +289,7 @@ int fem_parse_deck(const char* text, int64_t len, FemDeck* d) {
     // window clamp to <= t (m_io.F90:357-358)
     d->f_win[i * 2] = std::min(t1, d->t);
     d->f_win[i * 2 + 1] = std::min(t2, d->t);
+    tk.skip_line();
   }
 
   d->t_el = (int*)std::malloc(sizeof(int) * d->ntrcs);
@@ -292,6 +307,7 @@ int fem_parse_deck(const char* text, int64_t len, FemDeck* d) {
     if (!tk.next_double(d->t_win[i * 2]) ||
         !tk.next_double(d->t_win[i * 2 + 1]))
       return fail(d, "bad traction window");
+    tk.skip_line();
   }
 
   return 0;

@@ -51,6 +51,50 @@ tet 1 2 3 4 1 0
 """
 
 
+MIXED_TRAC_DECK = """implicit 3 10
+2 9 1 0 0 0 2 4
+1.0 1.0 1 1
+hex 1 2 3 4 5 6 7 8 1 0
+tet 1 2 3 9 1 0
+0.0 0.0 0.0
+1.0 0.0 0.0
+1.0 1.0 0.0
+0.0 1.0 0.0
+0.0 0.0 1.0
+1.0 0.0 1.0
+1.0 1.0 1.0
+0.0 1.0 1.0
+0.3 0.3 -1.0
+100.0 0.3 0.0 1.0 0.0
+5 0 0 0 0.0 0.0 0.0
+6 0 0 0 0.0 0.0 0.0
+7 0 0 0 0.0 0.0 0.0
+8 0 0 0 0.0 0.0 0.0
+1 5 0.0 0.0 -2.0 0.0 1.0
+2 4 0.0 0.0 -3.0 0.0 1.0
+"""
+
+
+def test_mixed_nps_tractions():
+    """A 3D deck applying tractions to BOTH a hex (4-node quad face) and a
+    tet (3-node tri face) must load and sum forces per record without the
+    padding nodes receiving phantom load (ADVICE r1)."""
+    p = pm.load(MIXED_TRAC_DECK)
+    assert p.trac_dofs.shape == (2, 4, 3)  # padded to max nps = 4
+    np.testing.assert_array_equal(p.trac_node_w, [[1, 1, 1, 1], [1, 1, 1, 0]])
+    from fem_tpu.models.system import System
+
+    s = System(p)
+    F = np.asarray(s.rhs(0.0)).reshape(9, 3)
+    # hex side 5 = bottom face (area 1): total -2; tet side 4 (tri face
+    # nodes 1,2,3, area 0.5): total -1.5. Node 9 (tet apex, off the loaded
+    # face; the padding row targets dof 0 with weight 0) gets nothing; node 4
+    # gets only the hex share.
+    np.testing.assert_allclose(F[:, 2].sum(), -2.0 - 1.5, rtol=1e-12)
+    np.testing.assert_allclose(F[3, 2], -0.5, rtol=1e-12)  # hex only
+    np.testing.assert_allclose(F[8], 0.0, atol=1e-15)
+
+
 def test_hex_deck_with_face_traction(tmp_path):
     """Two stacked unit hexes, base clamped, -z traction on the top face
     (side 6 = nodes 5,6,7,8 of element 2, m_elems.F90:592). Total applied

@@ -17,11 +17,12 @@ def test_save_load_roundtrip(tmp_path):
     s = np.random.default_rng(1).normal(size=(6, 3))
     du = np.random.default_rng(2).normal(size=12)
     path = checkpoint.save(str(tmp_path), 7, u, s, du)
-    step, u2, s2, du2 = checkpoint.load(path)
+    step, u2, s2, du2, creep = checkpoint.load(path)
     assert step == 7
     np.testing.assert_array_equal(u, u2)
     np.testing.assert_array_equal(s, s2)
     np.testing.assert_array_equal(du, du2)
+    assert creep == {}
     assert checkpoint.latest(str(tmp_path)) == path
     checkpoint.save(str(tmp_path), 9, u, s, du)
     assert checkpoint.latest(str(tmp_path)).endswith("state_000009.npz")
@@ -52,6 +53,47 @@ def test_resume_matches_uninterrupted(tmp_path):
     np.testing.assert_array_equal(resumed.aggregate_u, ref.aggregate_u)
     np.testing.assert_array_equal(resumed.aggregate_stress, ref.aggregate_stress)
     assert resumed.nsteps == ref.nsteps
+
+
+def test_viscoelastic_resume_preserves_creep_state(tmp_path):
+    """A resumed viscoelastic run must carry the accumulated per-ip creep
+    stress: re-zeroing it silently corrupts stresses (ADVICE r1, medium)."""
+    import os
+
+    from tests.test_viscoelastic import _shear_problem
+
+    p = _shear_problem(E=100.0, nu=0.0, visc=20.0, gamma_total=0.02,
+                       t=1.0, dt=0.05)
+    cfg = dict(viscoelastic=True, solver="direct", bc_mode="eliminate")
+    ref = stepper.run(p, Config(**cfg))
+
+    ckdir = str(tmp_path / "ck")
+    stepper.run(p, Config(checkpoint_dir=ckdir, **cfg))
+    for name in sorted(os.listdir(ckdir)):
+        step = int(name.split("_")[1].split(".")[0])
+        if step > 10:
+            os.unlink(os.path.join(ckdir, name))
+    resumed = stepper.run(p, Config(checkpoint_dir=ckdir, **cfg))
+    np.testing.assert_array_equal(resumed.aggregate_stress,
+                                  ref.aggregate_stress)
+    np.testing.assert_array_equal(resumed.aggregate_u, ref.aggregate_u)
+
+
+def test_viscoelastic_resume_refuses_stale_checkpoint(tmp_path):
+    """Checkpoints written without creep state must be refused for
+    viscoelastic resumes instead of silently re-zeroing the history."""
+    from tests.test_viscoelastic import _shear_problem
+
+    p = _shear_problem(E=100.0, nu=0.0, visc=20.0, gamma_total=0.02,
+                       t=1.0, dt=0.05)
+    ckdir = str(tmp_path / "ck")
+    # forge a pre-creep-state checkpoint at step 3
+    n = p.coords.shape[0] * 2
+    checkpoint.save(ckdir, 3, np.zeros(n), np.zeros((p.coords.shape[0], 3)),
+                    np.zeros(n))
+    with pytest.raises(ValueError, match="creep state"):
+        stepper.run(p, Config(checkpoint_dir=ckdir, viscoelastic=True,
+                              solver="direct", bc_mode="eliminate"))
 
 
 def test_no_resume_flag(tmp_path):

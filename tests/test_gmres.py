@@ -67,6 +67,31 @@ def test_gmres_inside_jit():
     )
 
 
+def test_gmres_float32_breakdown_no_nan():
+    """Arnoldi happy breakdown in float32: A = 2I converges in ONE inner
+    iteration; the rest of the cycle must be masked, not poison x with NaNs
+    (the old normal-equations ridge underflowed in f32 — ADVICE r1)."""
+    n = 16
+    b = jnp.asarray(np.random.default_rng(4).normal(size=n), jnp.float32)
+    res = gmres.gmres(lambda v: 2.0 * v, b, rtol=1e-6, restart=8)
+    assert bool(jnp.all(jnp.isfinite(res.x)))
+    np.testing.assert_allclose(np.asarray(res.x), np.asarray(b) / 2.0,
+                               rtol=1e-6)
+    assert int(res.iters) == 1
+
+
+def test_gmres_iters_counts_actual_inner_iterations():
+    """iters must report the true inner-iteration count, not cycles*restart
+    (ADVICE r1)."""
+    rng = np.random.default_rng(5)
+    n = 40
+    A = jnp.asarray(rng.normal(size=(n, n)) + n * np.eye(n))
+    b = jnp.asarray(rng.normal(size=n))
+    res = gmres.gmres(lambda v: A @ v, b, rtol=1e-4, restart=30)
+    # diagonally dominant: converges to 1e-4 well inside one 30-dim cycle
+    assert 0 < int(res.iters) < 30
+
+
 def test_gmres_on_fem_operator():
     from fem_tpu.io import meshgen
     from fem_tpu.models.system import System

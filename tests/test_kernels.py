@@ -233,6 +233,48 @@ def test_cohesive_force_equilibrium():
     np.testing.assert_allclose(bottom, -top, atol=1e-15)
 
 
+def test_cohesive_quirks_stiffness_matches_reference_loop():
+    """quirks=True must replicate the reference's precedence bug bit-for-bit
+    (m_global.F90:829-831): the UNSCALED term is
+    (k_nn n_d1 + k_tn t_d1) * n_d2 — dof1 carries the k-column combination,
+    dof2 carries n (not the transpose; ADVICE r1). Checked against a direct
+    numpy transcription of the Fortran loop nest."""
+    ecoords, props = _coh_setup()
+    rng = np.random.default_rng(5)
+    ue = jnp.asarray(rng.normal(size=(1, 8)) * 1e-3)
+    dt = 0.05
+
+    gap_n, gap_t, _, _, tangent, normal, det = (
+        np.asarray(a) for a in cohesive.gaps(ecoords, ue, dt)
+    )
+    k_nn, k_tt, k_nt = (
+        np.asarray(a)
+        for a in cohesive.xu_needleman_stiffness(
+            props[:, None, :], jnp.asarray(gap_n), jnp.asarray(gap_t), dt
+        )
+    )
+    N = np.asarray(cohesive._COH.N)  # (nip, 4)
+    w = np.asarray(cohesive._COH.weights)
+    sig = [1.0, 1.0, -1.0, -1.0]
+    n, t = normal[0], tangent[0]
+    expected = np.zeros((8, 8))
+    for j in range(N.shape[0]):
+        knn, ktt, knt = k_nn[0, j], k_tt[0, j], k_nt[0, j]
+        for a in range(4):
+            for b in range(4):
+                for d1 in range(2):
+                    for d2 in range(2):
+                        expected[a * 2 + d1, b * 2 + d2] += (
+                            (knn * n[d1] + knt * t[d1]) * n[d2]
+                        ) + (
+                            (knt * n[d1] + ktt * t[d1]) * t[d2]
+                        ) * sig[a] * sig[b] * N[j, a] * N[j, b] * w[j] * det[0]
+    ke = np.asarray(
+        cohesive.element_stiffness(ecoords, props, ue, dt, quirks=True)
+    )[0]
+    np.testing.assert_allclose(ke, expected, rtol=1e-12, atol=1e-18)
+
+
 def test_cohesive_quirks_mode_last_ip_only():
     ecoords, props = _coh_setup()
     rng = np.random.default_rng(2)

@@ -54,6 +54,37 @@ def test_native_parse_generated_strip():
 
 
 @needs_native
+def test_native_parse_trailing_tokens_per_record():
+    """Legal decks may carry trailing extra tokens on any fixed-count record
+    line (the reference's list-directed READ advances one record per line) —
+    the native parser must not desync on them (ADVICE r1)."""
+    deck = (
+        "implicit 2 1 extra junk\n"
+        "1 4 1 0 0 1 0 2\n"
+        "1.0 0.5 10 ascii\n"
+        "qua 1 2 3 4 1 0\n"
+        "0.0 0.0 999\n"
+        "1.0 0.0 888 777\n"
+        "1.0 1.0 ! comment\n"
+        "0.0 1.0 trailing\n"
+        "100.0 0.3 0.0 0.0 1.0 extra-mat-token\n"
+        "1 0 0 0.0 0.0 42\n"
+        "2 0 1 0.0 0.0 43 44\n"
+        "3 1.0 2.0 0.0 1.0 junk\n"
+    )
+    a = inp.parse(deck)
+    b = native.parse(deck)
+    np.testing.assert_array_equal(a.coords, b.coords)
+    np.testing.assert_array_equal(a.mats, b.mats)
+    np.testing.assert_array_equal(a.bc_node, b.bc_node)
+    np.testing.assert_array_equal(a.bc_flags, b.bc_flags)
+    np.testing.assert_array_equal(a.bc_vals, b.bc_vals)
+    np.testing.assert_array_equal(a.force_node, b.force_node)
+    np.testing.assert_array_equal(a.force_vec, b.force_vec)
+    assert b.coords[1, 0] == 1.0 and b.coords[1, 1] == 0.0
+
+
+@needs_native
 def test_native_parse_error_messages():
     with pytest.raises(ValueError, match="unknown element type"):
         native.parse("implicit 2 1\n1 3 1 0 0 0 0 0\n1.0 1.0\nquux 1 2 3 1 0\n")
