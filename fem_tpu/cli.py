@@ -1,8 +1,9 @@
 """Command-line driver: `python -m fem_tpu -f <deck.inp>`.
 
 Mirrors the reference CLI `mpiexec -n <cores> defmod -f <file>`
-(main.F90:31-33) — no mpiexec needed: device parallelism comes from the JAX
-mesh (use --devices to shard elements over chips). Writes
+(main.F90:31-33) — no mpiexec needed: `--devices N` shards the iterative
+linear solve over an N-device JAX mesh (element-sharded fused operator for
+unstructured decks, slab-sharded stencil for structured ones). Writes
 `0_output_000000.vtk` in the working directory like the reference's rank-0
 writer (m_io.F90:496).
 """
@@ -42,9 +43,14 @@ def main(argv=None) -> int:
                     help="ignore existing checkpoints in --checkpoint-dir")
     ap.add_argument("--profile-dir", default=None,
                     help="capture a jax.profiler device trace here")
+    ap.add_argument("--timing", action="store_true",
+                    help="print per-phase wall-clock totals after the run")
     ap.add_argument("--parser", default="auto",
                     choices=["auto", "python", "native"],
                     help="deck parser backend")
+    ap.add_argument("--devices", type=int, default=0,
+                    help="shard the iterative linear solve over N devices "
+                         "(the reference's mpiexec -n N; 0 = single device)")
     ap.add_argument("--shards", type=int, default=1,
                     help="write N per-shard VTK files (RCB partition), "
                          "mirroring the reference's per-MPI-rank output")
@@ -88,6 +94,8 @@ def main(argv=None) -> int:
         checkpoint_dir=args.checkpoint_dir,
         resume=not args.no_resume,
         profile_dir=args.profile_dir,
+        n_devices=args.devices if args.devices > 1 else None,
+        timing=args.timing,
     )
     log("Forming [K] ...")
     t0 = time.perf_counter()

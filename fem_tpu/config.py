@@ -86,6 +86,9 @@ class Config:
     resume: bool = True
     # Profiling: device-trace directory for jax.profiler (TensorBoard format).
     profile_dir: Optional[str] = None
+    # Log per-phase wall-clock totals (setup/rhs/solve/newton/stress) at the
+    # end of the run.
+    timing: bool = False
 
     def resolve_solver(self, ndof: int) -> str:
         if self.solver != "auto":

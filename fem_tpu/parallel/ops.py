@@ -161,23 +161,28 @@ class ShardedOperator:
                 for b in self.blocks
             ]
 
-    def matvec(self, u):
+    def matvec(self, u, blocks=None):
+        """K @ u. `blocks` lets callers pass the sharded element data as a
+        jit ARGUMENT instead of a traced closure constant (embedding the
+        arrays in HLO blows up program size — see CLAUDE.md)."""
+        blocks = self.blocks if blocks is None else blocks
         out = jnp.zeros(self.ndof, dtype=u.dtype)
         if self.mode == "ke":
-            for ke, edofs in self.blocks:
+            for ke, edofs in blocks:
                 out = out + self._mv(ke, edofs, u)
         else:
-            for fn, b in zip(self._mv_fns, self.blocks):
+            for fn, b in zip(self._mv_fns, blocks):
                 out = out + fn(b, u)
         return out
 
-    def diag(self):
+    def diag(self, blocks=None):
+        blocks = self.blocks if blocks is None else blocks
         d = jnp.zeros(self.ndof, dtype=self.system.dtype)
         if self.mode == "ke":
-            for ke, edofs in self.blocks:
+            for ke, edofs in blocks:
                 d = d + self._dg(ke, edofs)
         else:
-            for fn, b in zip(self._diag_fns, self.blocks):
+            for fn, b in zip(self._diag_fns, blocks):
                 d = d + fn(b)
         return d
 

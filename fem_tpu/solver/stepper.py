@@ -31,6 +31,7 @@ class StepResult:
     newton_iters: List[int]
     krylov_iters: List[int]
     nsteps: int
+    timers: object = None  # utils.timing.Timers (phase wall-clock totals)
 
 
 def run(
@@ -40,6 +41,9 @@ def run(
 ) -> StepResult:
     config = config or Config()
     log = log or (lambda msg: None)
+    from fem_tpu.utils.timing import Timers
+
+    tm = Timers()
     dtype = jnp.dtype(config.dtype)
     system = System(problem, dtype=dtype, plane_stress=config.plane_stress)
     n = system.ndof
@@ -97,8 +101,20 @@ def run(
                 )
             creep_state = resumed_creep
 
+    # Device mesh for multi-chip runs (the reference's `mpiexec -n <cores>`,
+    # main.F90:32): shards the linear path's operator over a 1D jax mesh.
+    dev_mesh = None
+    if config.n_devices and config.n_devices > 1:
+        from fem_tpu.parallel import make_mesh
+
+        dev_mesh = make_mesh(config.n_devices)
+        log(f"    Sharding over {config.n_devices} devices")
+
     # Linear path setup: K is constant; factorize/prepare once
     # (the reference configures the KSP once, main.F90:199-214).
+    import time as _time
+
+    _setup_t0 = _time.perf_counter()
     fac = None
     matvec = diag = None
     if not explicit and not nonlinear:
@@ -141,10 +157,23 @@ def run(
                 # backend at large sizes (CLAUDE.md)
                 mf_s = jnp.asarray(bc_mask, dtype=dtype)
 
+                st_matvec = structured.matvec
+                if dev_mesh is not None:
+                    cells_x = st_op.shape[0] - 1
+                    nd_ = dev_mesh.devices.size
+                    if cells_x % nd_ == 0:
+                        log("    Stencil matvec sharded (slab + psum halo)")
+                        st_matvec = lambda o, v: structured.matvec_sharded(  # noqa: E731
+                            o, v, dev_mesh
+                        )
+                    else:
+                        log(f"    ! {cells_x} lead cells not divisible by "
+                            f"{nd_} devices; running replicated")
+
                 def _mv(ops, v):
                     o, _ = ops
                     keep = 1.0 - mf_s
-                    return structured.matvec(o, v * keep) * keep + v * mf_s
+                    return st_matvec(o, v * keep) * keep + v * mf_s
 
                 def _pc(ops, r):
                     _, h = ops
@@ -153,7 +182,7 @@ def run(
                 def _cg_solve(op_unused, F, dg_unused, bc_dofs, bc_vals, x0):
                     ubc = jnp.zeros(n, dtype=dtype).at[bc_dofs].set(bc_vals)
                     b = cg.constrained_rhs(
-                        lambda v: structured.matvec(st_op, v), F, bc_mask, ubc
+                        lambda v: st_matvec(st_op, v), F, bc_mask, ubc
                     )
                     res = cg.pcg_host_split(
                         _mv, b, _pc, (st_op, hier),
@@ -166,6 +195,25 @@ def run(
                     )
 
                 op = diag = None
+            elif dev_mesh is not None:
+                # Unstructured deck over multiple devices: element-sharded
+                # fused operator (domain-decomposition DP, psum shared-dof
+                # reduction — SURVEY.md §2c). The sharded blocks are jit
+                # ARGUMENTS, not closure constants.
+                from fem_tpu.parallel import ShardedOperator
+
+                log("    Fused operator sharded over the device mesh")
+                sop = ShardedOperator(system, dev_mesh)
+                op = sop.blocks
+                diag = sop.diag()
+
+                @jax.jit
+                def _cg_solve(blocks, F, dg, bc_dofs, bc_vals, x0):
+                    return cg.solve_eliminated(
+                        lambda v: sop.matvec(v, blocks=blocks), F, dg,
+                        bc_dofs, bc_vals,
+                        x0=x0, rtol=rtol, atol=atol, maxiter=maxiter,
+                    )
             else:
                 op = op_mod.build(system)
                 diag = op_mod.diag(op)
@@ -177,6 +225,9 @@ def run(
                         x0=x0, rtol=rtol, atol=atol, maxiter=maxiter,
                     )
 
+    tm.totals["setup"] += _time.perf_counter() - _setup_t0
+    tm.counts["setup"] += 1
+
     bc_step_vals = system.bc_step_vals()
 
     for k in range(first_step, nsteps + 1):
@@ -184,54 +235,66 @@ def run(
         log(f"Interval: {k}")
         if explicit:
             continue
-        F = system.rhs(t_init)
-        if creep_state is not None:
-            F = F + system.creep_force(creep_state)
+        with tm.phase("rhs"):
+            F = system.rhs(t_init)
+            if creep_state is not None:
+                F = F + system.creep_force(creep_state)
 
         if nonlinear:
-            if config.formulation == "total":
-                res = newton.solve_step_total(
-                    system, config, aggregate_u, du, t_init + problem.dt
-                )
-            elif solver_kind == "direct":
-                res = newton.solve_step(
-                    system, config, aggregate_u, du, F, bc_mode=bc_mode
-                )
-            else:
-                res = newton.solve_step_matfree(
-                    system, config, aggregate_u, du, F
-                )
+            with tm.phase("newton"):
+                if config.formulation == "total":
+                    res = newton.solve_step_total(
+                        system, config, aggregate_u, du, t_init + problem.dt
+                    )
+                elif solver_kind == "direct":
+                    res = newton.solve_step(
+                        system, config, aggregate_u, du, F, bc_mode=bc_mode
+                    )
+                else:
+                    res = newton.solve_step_matfree(
+                        system, config, aggregate_u, du, F
+                    )
             du = res.du
             newton_iters.append(res.iters)
             log(f"    SNES Iteration Count: {res.iters}")
         elif solver_kind == "direct":
-            if bc_mode == "penalty":
-                Fp = F.at[system.bc_dofs].set(PENALTY * bc_step_vals)
-                du = direct.solve_factorized(fac, Fp)
-            else:
-                ubc = jnp.zeros(n, dtype=dtype).at[system.bc_dofs].set(bc_step_vals)
-                Fe = F - K_unconstrained @ ubc
-                bc_mask = jnp.zeros(n, dtype=bool).at[system.bc_dofs].set(True)
-                Fe = jnp.where(bc_mask, ubc, Fe)
-                du = direct.solve_factorized(fac, Fe)
+            with tm.phase("solve"):
+                if bc_mode == "penalty":
+                    Fp = F.at[system.bc_dofs].set(PENALTY * bc_step_vals)
+                    du = direct.solve_factorized(fac, Fp)
+                else:
+                    ubc = jnp.zeros(n, dtype=dtype).at[system.bc_dofs].set(
+                        bc_step_vals
+                    )
+                    Fe = F - K_unconstrained @ ubc
+                    bc_mask = jnp.zeros(n, dtype=bool).at[system.bc_dofs].set(
+                        True
+                    )
+                    Fe = jnp.where(bc_mask, ubc, Fe)
+                    du = direct.solve_factorized(fac, Fe)
         else:
-            res = _cg_solve(op, F, diag, system.bc_dofs, bc_step_vals, du)
-            du = res.x
-            krylov_iters.append(int(res.iters))
+            with tm.phase("solve"):
+                res = _cg_solve(op, F, diag, system.bc_dofs, bc_step_vals, du)
+                du = res.x
+                krylov_iters.append(int(res.iters))
 
         aggregate_u = aggregate_u + du
-        if creep_state is not None:
-            creep_state = system.creep_stress_update(creep_state, du)
-            aggregate_stress = system.nodal_average_state(creep_state)
-        else:
-            stress_inc = system.stress_increment(du)
-            aggregate_stress = aggregate_stress + stress_inc
+        with tm.phase("stress"):
+            if creep_state is not None:
+                creep_state = system.creep_stress_update(creep_state, du)
+                aggregate_stress = system.nodal_average_state(creep_state)
+            else:
+                stress_inc = system.stress_increment(du)
+                aggregate_stress = aggregate_stress + stress_inc
 
         if config.checkpoint_dir and k % max(config.checkpoint_every, 1) == 0:
             from fem_tpu.utils import checkpoint as ckpt
 
             ckpt.save(config.checkpoint_dir, k, aggregate_u,
                       aggregate_stress, du, creep_state=creep_state)
+
+    if config.timing:
+        log("Phase timers:\n" + tm.report())
 
     return StepResult(
         aggregate_u=np.asarray(aggregate_u),
@@ -240,4 +303,5 @@ def run(
         newton_iters=newton_iters,
         krylov_iters=krylov_iters,
         nsteps=nsteps,
+        timers=tm,
     )

@@ -9,7 +9,9 @@ from fem_tpu.models import problem as problem_mod
 from fem_tpu.solver import stepper
 from fem_tpu.utils import checkpoint
 
-ELASTIC_DECK = "/root/reference/examples/SNES_test/elastic/elastic_test.inp"
+from tests.deckpaths import deck
+
+ELASTIC_DECK = deck("SNES_test/elastic/elastic_test.inp")
 
 
 def test_save_load_roundtrip(tmp_path):

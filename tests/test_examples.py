@@ -10,7 +10,7 @@ from fem_tpu.io import meshgen
 from fem_tpu.models import problem as pm
 from fem_tpu.solver import stepper
 
-REF = "/root/reference/examples"
+from tests.deckpaths import REF
 needs_ref = pytest.mark.skipif(not os.path.isdir(REF), reason="no reference")
 
 

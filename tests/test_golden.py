@@ -14,7 +14,7 @@ from fem_tpu.io import inp, vtk
 from fem_tpu.models import problem as problem_mod
 from fem_tpu.solver import stepper
 
-REF = "/root/reference/examples"
+from tests.deckpaths import REF
 ELASTIC_DECK = f"{REF}/SNES_test/elastic/elastic_test.inp"
 COHESIVE_DECK = f"{REF}/cohesive_test_2.inp"
 LIN_DECK = f"{REF}/lin_two_quads_qs.inp"

@@ -9,7 +9,7 @@ import pytest
 
 from fem_tpu.io import inp, meshgen, native
 
-REF = "/root/reference/examples"
+from tests.deckpaths import REF
 
 needs_native = pytest.mark.skipif(
     not native.available(), reason="native engine not built (make -C native)"

@@ -42,6 +42,67 @@ def test_sharded_matvec_matches_local(grid_system):
     )
 
 
+def test_stepper_devices_unstructured_matches_single(grid_system):
+    """Production driver with Config(n_devices=8) on a NON-box mesh must
+    route through the element-sharded fused operator and match the
+    single-device run (VERDICT r1 #3)."""
+    import dataclasses
+
+    problem, _ = grid_system
+    rng = np.random.default_rng(7)
+    coords = problem.coords + 0.08 * rng.normal(size=problem.coords.shape) / 12
+    p = dataclasses.replace(problem, coords=coords)
+    from fem_tpu.ops import structured
+
+    assert structured.detect(p) is None  # really exercises the fused path
+    ref = stepper.run(p, Config(solver="cg", rtol=1e-12))
+    shd = stepper.run(p, Config(solver="cg", rtol=1e-12, n_devices=8))
+    np.testing.assert_allclose(shd.aggregate_u, ref.aggregate_u,
+                               atol=1e-9 * np.abs(ref.aggregate_u).max())
+    np.testing.assert_allclose(
+        shd.aggregate_stress, ref.aggregate_stress,
+        atol=1e-8 * np.abs(ref.aggregate_stress).max(),
+    )
+
+
+def test_stepper_devices_structured_matches_single():
+    """Config(n_devices=8) on a box grid with 8-divisible leading cells must
+    route through the slab-sharded stencil matvec and match."""
+    p = meshgen.quad_grid_problem(4, 8, E=100.0, nu=0.3,
+                                  tip_force=(0.0, -1.0))
+    from fem_tpu.ops import structured
+
+    spec = structured.detect(p)
+    assert spec is not None and (spec["node_shape"][0] - 1) % 8 == 0
+    ref = stepper.run(p, Config(solver="cg", rtol=1e-12))
+    shd = stepper.run(p, Config(solver="cg", rtol=1e-12, n_devices=8))
+    np.testing.assert_allclose(shd.aggregate_u, ref.aggregate_u,
+                               atol=1e-9 * np.abs(ref.aggregate_u).max())
+
+
+def test_cli_devices_flag(tmp_path):
+    """`python -m fem_tpu -f deck --devices 8` solves sharded end-to-end and
+    still matches the elastic golden deck (falls back to replicated when the
+    grid doesn't divide, with the same numbers)."""
+    import os
+
+    from fem_tpu import cli
+    from fem_tpu.io import vtk
+
+    from tests.deckpaths import deck as _deck
+
+    deck = _deck("SNES_test/elastic/elastic_test.inp")
+    if not os.path.exists(deck):
+        pytest.skip("reference decks unavailable")
+    rc = cli.main(["-f", deck, "--devices", "8", "--solver", "cg",
+                   "-o", str(tmp_path) + "/", "-q"])
+    assert rc == 0
+    pts, stress, disp = vtk.read_fields(str(tmp_path / "0_output_000000.vtk"))
+    np.testing.assert_allclose(sorted(disp[:, 1]), [0, 0, 0.05, 0.05, 0.1, 0.1],
+                               atol=1e-6)
+    np.testing.assert_allclose(stress[:, :2], [[105.0, 245.0]] * 6, atol=1e-4)
+
+
 def test_sharded_solve_matches_direct(grid_system):
     problem, system = grid_system
     mesh = make_mesh(8)

@@ -13,7 +13,9 @@ from fem_tpu.models import problem as problem_mod
 from fem_tpu.parallel import partition as part_mod
 from fem_tpu.solver import stepper
 
-ELASTIC_DECK = "/root/reference/examples/SNES_test/elastic/elastic_test.inp"
+from tests.deckpaths import deck
+
+ELASTIC_DECK = deck("SNES_test/elastic/elastic_test.inp")
 
 
 def test_partition_covers_all_elements():
