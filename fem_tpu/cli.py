@@ -26,6 +26,11 @@ def main(argv=None) -> int:
     )
     ap.add_argument("--dtype", default="float64")
     ap.add_argument(
+        "--precond", default="auto", choices=["auto", "jacobi", "amg"],
+        help="preconditioner for the iterative unstructured path "
+        "(auto: AMG at scale)",
+    )
+    ap.add_argument(
         "--bc-mode", default="auto", choices=["auto", "penalty", "eliminate"]
     )
     ap.add_argument("--plane-stress", action="store_true",
@@ -88,6 +93,7 @@ def main(argv=None) -> int:
         dtype=args.dtype,
         solver=args.solver,
         bc_mode=args.bc_mode,
+        precond=args.precond,
         quirks=args.quirks,
         plane_stress=args.plane_stress,
         formulation=args.formulation,

@@ -74,6 +74,13 @@ class Config:
     newton_stol: float = 1e-8
     newton_maxit: int = 50
     formulation: str = "auto"
+    # Preconditioner for the iterative (cg) elastic path on UNSTRUCTURED
+    # meshes: "jacobi", "amg" (smoothed aggregation, solver/amg.py), or
+    # "auto" (amg at/above amg_threshold DOFs — the scalable replacement for
+    # MUMPS' mesh-agnostic direct solve, main.F90:354-390). Structured box
+    # decks use geometric multigrid regardless.
+    precond: str = "auto"
+    amg_threshold: int = 20000
     quirks: bool = False
     viscoelastic: bool = False
     plane_stress: bool = False
@@ -104,3 +111,8 @@ class Config:
         if self.formulation != "auto":
             return self.formulation
         return "reference" if bc_mode == "penalty" else "standard"
+
+    def resolve_precond(self, ndof: int) -> str:
+        if self.precond != "auto":
+            return self.precond
+        return "amg" if ndof >= self.amg_threshold else "jacobi"

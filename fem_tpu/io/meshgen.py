@@ -290,14 +290,32 @@ def hex_box_problem(
     t: float = 1.0,
     dt: float = 1.0,
     tip_load: float = -1e6,
+    jitter: float = 0.0,
+    seed: int = 0,
 ) -> Problem:
     """3D hex8 cantilever: clamped at x=0, z-directed point loads on the free
-    x=lx face. The ~1M-DOF benchmark geometry (BASELINE.md)."""
+    x=lx face. The ~1M-DOF benchmark geometry (BASELINE.md).
+
+    jitter > 0 perturbs every INTERIOR node by jitter*h*U(-1/2, 1/2) per
+    axis (boundary nodes stay put so the BC/load selections hold). This
+    produces a genuinely unstructured mesh — `ops/structured.detect` rejects
+    it — exercising the fused-operator + AMG path (the reference's MUMPS
+    handles any mesh, main.F90:354-390)."""
     xs = np.linspace(0.0, lx, nx + 1)
     ys = np.linspace(0.0, ly, ny + 1)
     zs = np.linspace(0.0, lz, nz + 1)
     gx, gy, gz = np.meshgrid(xs, ys, zs, indexing="ij")
     coords = np.stack([gx.reshape(-1), gy.reshape(-1), gz.reshape(-1)], axis=1)
+    if jitter:
+        rng = np.random.default_rng(seed)
+        h = np.array([lx / nx, ly / ny, lz / nz])
+        interior = (
+            (coords[:, 0] > 0.0) & (coords[:, 0] < lx)
+            & (coords[:, 1] > 0.0) & (coords[:, 1] < ly)
+            & (coords[:, 2] > 0.0) & (coords[:, 2] < lz)
+        )
+        pert = jitter * h * (rng.random((coords.shape[0], 3)) - 0.5)
+        coords = coords + np.where(interior[:, None], pert, 0.0)
 
     def nid(i, j, k):
         return (i * (ny + 1) + j) * (nz + 1) + k

@@ -1,0 +1,479 @@
+"""Smoothed-aggregation AMG preconditioner for unstructured meshes.
+
+The reference solves ANY mesh with MUMPS' distributed sparse direct LU
+(/root/reference/src/main.F90:354-390) — mesh topology never matters because
+factorization is general. The TPU equivalent for *structured* boxes is the
+geometric multigrid in solver/multigrid.py; this module covers the rest of
+MUMPS' role: large UNSTRUCTURED meshes, where geometric coarsening does not
+exist. Smoothed aggregation (Vanek/Mandel/Brezina '96) builds the hierarchy
+algebraically from the assembled matrix and the elastic rigid-body modes.
+
+Division of labor (the TPU-native shape of the design):
+  - SETUP runs on the HOST in scipy/numpy: sparse assembly, strength graph,
+    greedy aggregation, per-aggregate rank-revealing QR of the rigid-body
+    modes, prolongator smoothing, Galerkin triple products, spectral-radius
+    power iteration. This mirrors the framework-wide rule that irregular,
+    data-dependent index work is host-side setup (SURVEY.md §2c: MPI_Bcast
+    sites become host setup + device_put).
+  - The CYCLE runs on DEVICE as one jittable program: Chebyshev polynomial
+    smoothing (matvec-only, no data-dependent control flow), ELL-format
+    coarse matvecs (fixed-width gather + sum — static shapes for XLA),
+    segment-sum restriction, gather prolongation, dense coarsest inverse.
+
+The preconditioner is symmetric positive definite (same-degree Chebyshev
+pre/post smoothing, adjoint transfers, Galerkin coarse operators), so it is
+a valid CG preconditioner. BC dofs are eliminated before setup (identity
+rows/cols) to match solver/cg.masked_operator's fine-level convention.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+# ---------------------------------------------------------------------------
+# Host-side setup
+# ---------------------------------------------------------------------------
+
+
+def assemble_csr(system, dtype=np.float64):
+    """Assemble the elastic stiffness as a scipy CSR matrix on the host.
+
+    Element matrices come from the same batched kernels the device uses
+    (ops/stiffness.element_stiffness_lame), evaluated on the CPU backend.
+    Replaces the reference's MatSetValues/MatAssembly scatter
+    (main.F90:157-171) with one COO->CSR conversion.
+    """
+    import scipy.sparse as sp
+
+    from fem_tpu.ops import stiffness as stiff_ops
+
+    cpu = jax.devices("cpu")[0]
+    rows: List[np.ndarray] = []
+    cols: List[np.ndarray] = []
+    vals: List[np.ndarray] = []
+    with jax.default_device(cpu):
+        for name, e in system.blocks.items():
+            if e["is_coh"]:
+                continue
+            et = e["et"]
+            ec = jnp.asarray(np.asarray(e["ecoords"], dtype=dtype))
+            lam, mu = stiff_ops.lame(
+                jnp.asarray(np.asarray(e["E"], dtype=dtype)),
+                jnp.asarray(np.asarray(e["nu"], dtype=dtype)),
+            )
+            ke = np.asarray(stiff_ops.element_stiffness_lame(et, ec, lam, mu))
+            edofs = np.asarray(e["edofs"])  # (ne, ndof_e)
+            ne, nde = edofs.shape
+            rows.append(np.broadcast_to(edofs[:, :, None], (ne, nde, nde)).reshape(-1))
+            cols.append(np.broadcast_to(edofs[:, None, :], (ne, nde, nde)).reshape(-1))
+            vals.append(ke.reshape(-1).astype(dtype))
+    n = system.ndof
+    A = sp.coo_matrix(
+        (np.concatenate(vals), (np.concatenate(rows), np.concatenate(cols))),
+        shape=(n, n),
+    ).tocsr()
+    A.sum_duplicates()
+    return A
+
+
+def _eliminate_bcs(A, bc_dofs):
+    """Zero constrained rows/cols, unit diagonal (cg.masked_operator form)."""
+    import scipy.sparse as sp
+
+    n = A.shape[0]
+    keep = np.ones(n)
+    keep[bc_dofs] = 0.0
+    D = sp.diags(keep)
+    ones = sp.coo_matrix(
+        (np.ones(len(bc_dofs)), (bc_dofs, bc_dofs)), shape=(n, n)
+    )
+    A = (D @ A @ D + ones).tocsr()
+    A.sum_duplicates()
+    return A
+
+
+def rigid_body_modes(coords, pdim, bc_dofs=None):
+    """Near-nullspace B (ndof x nb): translations + rotations, zeroed on
+    constrained dofs. nb = 3 (2D) or 6 (3D)."""
+    nn = coords.shape[0]
+    x = coords[:, 0]
+    y = coords[:, 1]
+    if pdim == 2:
+        B = np.zeros((nn * 2, 3))
+        B[0::2, 0] = 1.0
+        B[1::2, 1] = 1.0
+        B[0::2, 2] = -y
+        B[1::2, 2] = x
+    else:
+        z = coords[:, 2]
+        B = np.zeros((nn * 3, 6))
+        for d in range(3):
+            B[d::3, d] = 1.0
+        B[0::3, 3] = -y
+        B[1::3, 3] = x
+        B[1::3, 4] = -z
+        B[2::3, 4] = y
+        B[0::3, 5] = z
+        B[2::3, 5] = -x
+    if bc_dofs is not None and len(bc_dofs):
+        B[np.asarray(bc_dofs)] = 0.0
+    return B
+
+
+def _node_graph(A, dof_node, nnodes):
+    """Condense |A| onto the node partition given by dof_node (len ndof)."""
+    import scipy.sparse as sp
+
+    n = A.shape[0]
+    R = sp.csr_matrix(
+        (np.ones(n), (dof_node, np.arange(n))), shape=(nnodes, n)
+    )
+    N = R @ abs(A) @ R.T
+    N = N.tocsr()
+    N.setdiag(0.0)
+    N.eliminate_zeros()
+    return N
+
+
+def _aggregate(N):
+    """Standard greedy aggregation on the node graph N (CSR, no diagonal).
+
+    Three passes (Vanek et al.): (1) a node whose neighborhood is untouched
+    seeds an aggregate with all its neighbors; (2) leftover nodes join the
+    neighboring aggregate with the strongest connection; (3) remaining
+    connected leftovers seed aggregates from what is left. Isolated nodes
+    (e.g. fully constrained: their matrix rows are identity) stay
+    unaggregated and carry no coarse dofs.
+    """
+    n = N.shape[0]
+    indptr, indices, data = N.indptr, N.indices, N.data
+    agg = np.full(n, -1, dtype=np.int64)
+    # -2 marks "adjacent to an aggregate" (not a seed candidate in pass 1)
+    na = 0
+    for i in range(n):
+        if agg[i] != -1:
+            continue
+        nbrs = indices[indptr[i]:indptr[i + 1]]
+        if len(nbrs) == 0:
+            continue  # isolated
+        if np.all(agg[nbrs] == -1):
+            agg[i] = na
+            agg[nbrs] = na
+            na += 1
+    # pass 2: join strongest neighboring aggregate
+    unassigned = np.nonzero(agg == -1)[0]
+    joined = agg.copy()
+    for i in unassigned:
+        lo, hi = indptr[i], indptr[i + 1]
+        nbrs = indices[lo:hi]
+        w = data[lo:hi]
+        mask = agg[nbrs] >= 0
+        if np.any(mask):
+            joined[i] = agg[nbrs[mask][np.argmax(w[mask])]]
+    agg = joined
+    # pass 3: aggregate the remaining connected nodes among themselves
+    for i in range(n):
+        if agg[i] != -1:
+            continue
+        nbrs = indices[indptr[i]:indptr[i + 1]]
+        if len(nbrs) == 0:
+            continue
+        agg[i] = na
+        free = nbrs[agg[nbrs] == -1]
+        agg[free] = na
+        na += 1
+    return agg, na
+
+
+def _tentative(agg, naggs, dof_node, B):
+    """Tentative prolongator + coarse candidate modes via per-aggregate
+    rank-revealing QR of B. Returns (P0 csr, B_c, dof_node_c)."""
+    import scipy.linalg as sla
+    import scipy.sparse as sp
+
+    ndof = B.shape[0]
+    nb = B.shape[1]
+    dof_agg = np.where(dof_node >= 0, agg[dof_node], -1)
+    order = np.argsort(dof_agg, kind="stable")
+    sorted_agg = dof_agg[order]
+    start = np.searchsorted(sorted_agg, np.arange(naggs), side="left")
+    end = np.searchsorted(sorted_agg, np.arange(naggs), side="right")
+
+    rowsP: List[np.ndarray] = []
+    colsP: List[np.ndarray] = []
+    valsP: List[np.ndarray] = []
+    Bc_rows: List[np.ndarray] = []
+    dof_node_c: List[np.ndarray] = []
+    nc = 0
+    for g in range(naggs):
+        idx = order[start[g]:end[g]]
+        if len(idx) == 0:
+            continue
+        Bg = B[idx]  # (m, nb)
+        if not np.any(Bg):
+            continue
+        Q, R, piv = sla.qr(Bg, mode="economic", pivoting=True)
+        d = np.abs(np.diag(R))
+        if d.size == 0 or d[0] == 0.0:
+            continue
+        rank = int(np.sum(d > max(Bg.shape) * np.finfo(float).eps * d[0]))
+        if rank == 0:
+            continue
+        Qg = Q[:, :rank]  # (m, rank)
+        rowsP.append(np.repeat(idx, rank))
+        colsP.append(np.tile(nc + np.arange(rank), len(idx)))
+        valsP.append(Qg.reshape(-1))
+        Bc_rows.append(Qg.T @ Bg)  # (rank, nb)
+        dof_node_c.append(np.full(rank, g, dtype=np.int64))
+        nc += rank
+    if not rowsP:
+        return sp.csr_matrix((ndof, 0)), np.zeros((0, nb)), np.zeros(0, np.int64)
+    P0 = sp.csr_matrix(
+        (np.concatenate(valsP), (np.concatenate(rowsP), np.concatenate(colsP))),
+        shape=(ndof, nc),
+    )
+    B_c = np.vstack(Bc_rows) if Bc_rows else np.zeros((0, nb))
+    return P0, B_c, np.concatenate(dof_node_c) if dof_node_c else np.zeros(0, np.int64)
+
+
+def _lambda_max(A, dinv, iters=30, seed=0):
+    """Power-iteration estimate of lambda_max(D^-1 A), with 10% headroom."""
+    rng = np.random.default_rng(seed)
+    x = rng.standard_normal(A.shape[0])
+    x /= np.linalg.norm(x)
+    lam = 1.0
+    for _ in range(iters):
+        y = dinv * (A @ x)
+        ny = np.linalg.norm(y)
+        if ny == 0.0:
+            return 1.0
+        lam = ny
+        x = y / ny
+    return float(lam)
+
+
+def _to_ell(A, dtype):
+    """CSR -> padded ELL (vals (n, w), cols (n, w) int32)."""
+    n = A.shape[0]
+    counts = np.diff(A.indptr)
+    w = int(counts.max()) if n else 0
+    vals = np.zeros((n, w), dtype=dtype)
+    cols = np.zeros((n, w), dtype=np.int32)
+    # vectorized fill: position within row
+    pos = np.arange(A.nnz) - np.repeat(A.indptr[:-1], counts)
+    rows = np.repeat(np.arange(n), counts)
+    vals[rows, pos] = A.data
+    cols[rows, pos] = A.indices
+    return vals, cols
+
+
+# ---------------------------------------------------------------------------
+# Device-side hierarchy
+# ---------------------------------------------------------------------------
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class AMGLevel:
+    # operator in ELL form; EMPTY (0,0) on level 0, where the caller's fine
+    # matvec (fused/stencil) is used instead
+    ell_vals: jax.Array
+    ell_cols: jax.Array
+    dinv: jax.Array  # (n,) 1/diag (1.0 on constrained dofs)
+    # prolongator fine<-coarse in ELL over FINE rows; empty on the coarsest
+    p_vals: jax.Array
+    p_cols: jax.Array
+    # restriction = P^T as COO sorted by coarse row (for segment_sum)
+    pt_vals: jax.Array
+    pt_fine: jax.Array  # fine dof of each nnz
+    pt_coarse: jax.Array  # ascending coarse dof of each nnz
+    # Chebyshev interval [theta - delta, theta + delta] of D^-1 A
+    theta: float = dataclasses.field(metadata=dict(static=True))
+    delta: float = dataclasses.field(metadata=dict(static=True))
+    n_coarse: int = dataclasses.field(metadata=dict(static=True))
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class AMGPrecond:
+    levels: Tuple[AMGLevel, ...]
+    coarse_inv: jax.Array  # dense inverse of the coarsest operator
+    degree: int = dataclasses.field(default=3, metadata=dict(static=True))
+
+    def astype(self, dtype):
+        def cast(x):
+            return x.astype(dtype) if jnp.issubdtype(x.dtype, jnp.floating) else x
+
+        return jax.tree_util.tree_map(cast, self)
+
+
+def build(
+    system,
+    bc_dofs,
+    coarse_max: int = 1200,
+    max_levels: int = 10,
+    degree: int = 3,
+    dtype=jnp.float64,
+    A=None,
+) -> AMGPrecond:
+    """Build the SA-AMG hierarchy for a System's elastic operator (host-side;
+    returns a device pytree). `A` may be a pre-assembled scipy CSR (BCs NOT
+    yet eliminated) to skip re-assembly."""
+    if A is None:
+        A = assemble_csr(system)
+    bc = np.asarray(bc_dofs)
+    A = _eliminate_bcs(A, bc)
+    coords = np.asarray(system.problem.coords)
+    pdim = system.pdim
+    B = rigid_body_modes(coords, pdim, bc)
+    ndof = A.shape[0]
+    dof_node = np.arange(ndof) // pdim
+    nnodes = coords.shape[0]
+
+    np_dtype = np.dtype(jnp.dtype(dtype).name)
+    levels: List[AMGLevel] = []
+    level_A = A
+    while len(levels) < max_levels - 1 and level_A.shape[0] > coarse_max:
+        d = level_A.diagonal()
+        dinv = np.where(d != 0.0, 1.0 / np.where(d == 0.0, 1.0, d), 1.0)
+        lam_max = 1.1 * _lambda_max(level_A, dinv)
+        N = _node_graph(level_A, dof_node, nnodes)
+        agg, naggs = _aggregate(N)
+        P0, B_c, dof_node_c = _tentative(agg, naggs, dof_node, B)
+        if P0.shape[1] == 0 or P0.shape[1] >= level_A.shape[0]:
+            break
+        # smoothed prolongator: P = (I - omega D^-1 A) P0
+        import scipy.sparse as sp
+
+        omega = (4.0 / 3.0) / lam_max
+        DinvA = sp.diags(dinv) @ level_A
+        P = (P0 - omega * (DinvA @ P0)).tocsr()
+        P.sum_duplicates()
+        A_c = (P.T @ level_A @ P).tocsr()
+        A_c.sum_duplicates()
+
+        if len(levels) == 0:
+            ell_vals = np.zeros((0, 0), dtype=np_dtype)
+            ell_cols = np.zeros((0, 0), dtype=np.int32)
+        else:
+            ell_vals, ell_cols = _to_ell(level_A, np_dtype)
+        p_vals, p_cols = _to_ell(P, np_dtype)
+        Pc = P.tocoo()
+        order = np.argsort(Pc.col, kind="stable")
+        lb = lam_max / 30.0
+        levels.append(
+            AMGLevel(
+                ell_vals=jnp.asarray(ell_vals),
+                ell_cols=jnp.asarray(ell_cols),
+                dinv=jnp.asarray(dinv.astype(np_dtype)),
+                p_vals=jnp.asarray(p_vals),
+                p_cols=jnp.asarray(p_cols),
+                pt_vals=jnp.asarray(Pc.data[order].astype(np_dtype)),
+                pt_fine=jnp.asarray(Pc.row[order].astype(np.int32)),
+                pt_coarse=jnp.asarray(Pc.col[order].astype(np.int32)),
+                theta=float(0.5 * (lam_max + lb)),
+                delta=float(0.5 * (lam_max - lb)),
+                n_coarse=int(P.shape[1]),
+            )
+        )
+        level_A = A_c
+        B = B_c
+        dof_node = dof_node_c
+        nnodes = naggs
+
+    # coarsest level: dense inverse
+    nc = level_A.shape[0]
+    d = level_A.diagonal()
+    dinv = np.where(d != 0.0, 1.0 / np.where(d == 0.0, 1.0, d), 1.0)
+    Kc = level_A.toarray()
+    zero_rows = np.abs(Kc).sum(axis=1) == 0.0
+    if np.any(zero_rows):
+        Kc[zero_rows, zero_rows] = 1.0
+    coarse_inv = np.linalg.inv(Kc)
+    empty_f = np.zeros((0, 0), dtype=np_dtype)
+    empty_i = np.zeros((0, 0), dtype=np.int32)
+    ell_vals, ell_cols = (
+        (empty_f, empty_i) if not levels else _to_ell(level_A, np_dtype)
+    )
+    levels.append(
+        AMGLevel(
+            ell_vals=jnp.asarray(ell_vals),
+            ell_cols=jnp.asarray(ell_cols),
+            dinv=jnp.asarray(dinv.astype(np_dtype)),
+            p_vals=jnp.asarray(empty_f),
+            p_cols=jnp.asarray(empty_i),
+            pt_vals=jnp.asarray(np.zeros(0, dtype=np_dtype)),
+            pt_fine=jnp.asarray(np.zeros(0, dtype=np.int32)),
+            pt_coarse=jnp.asarray(np.zeros(0, dtype=np.int32)),
+            theta=1.0,
+            delta=0.5,
+            n_coarse=0,
+        )
+    )
+    return AMGPrecond(
+        levels=tuple(levels),
+        coarse_inv=jnp.asarray(coarse_inv.astype(np_dtype)),
+        degree=degree,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Device-side cycle (jittable)
+# ---------------------------------------------------------------------------
+
+
+def _ell_matvec(vals, cols, x):
+    return jnp.sum(vals * x[cols], axis=1)
+
+
+def _chebyshev(matvec, lv: AMGLevel, x, b, degree: int):
+    """Chebyshev polynomial smoothing of D^-1 A on [theta-delta, theta+delta].
+    Matvec-only — no data-dependent control flow, ideal under jit."""
+    theta, delta = lv.theta, lv.delta
+    sigma = theta / delta
+    rho = 1.0 / sigma
+    r = lv.dinv * (b - matvec(x))
+    d = r / theta
+    for _ in range(degree - 1):
+        x = x + d
+        r = r - lv.dinv * matvec(d)
+        rho_new = 1.0 / (2.0 * sigma - rho)
+        d = (rho_new * rho) * d + (2.0 * rho_new / delta) * r
+        rho = rho_new
+    return x + d
+
+
+def v_cycle(h: AMGPrecond, fine_matvec: Callable, r):
+    """One V-cycle; level 0 applies `fine_matvec` (the masked fused/stencil
+    operator), deeper levels their ELL matrices."""
+    return _v(h, 0, fine_matvec, r)
+
+
+def _v(h: AMGPrecond, i: int, mv: Callable, r):
+    lv = h.levels[i]
+    if i == len(h.levels) - 1:
+        return jnp.matmul(
+            h.coarse_inv, r, precision=jax.lax.Precision.HIGHEST
+        )
+    x = _chebyshev(mv, lv, jnp.zeros_like(r), r, h.degree)
+    res = r - mv(x)
+    rc = jax.ops.segment_sum(
+        lv.pt_vals * res[lv.pt_fine],
+        lv.pt_coarse,
+        num_segments=lv.n_coarse,
+        indices_are_sorted=True,
+    )
+    nxt = h.levels[i + 1]
+    xc = _v(h, i + 1, lambda v: _ell_matvec(nxt.ell_vals, nxt.ell_cols, v), rc)
+    x = x + _ell_matvec(lv.p_vals, lv.p_cols, xc)
+    return _chebyshev(mv, lv, x, r, h.degree)
+
+
+def preconditioner(h: AMGPrecond, fine_matvec: Callable) -> Callable:
+    return lambda r: v_cycle(h, fine_matvec, r)

@@ -214,6 +214,48 @@ def run(
                         bc_dofs, bc_vals,
                         x0=x0, rtol=rtol, atol=atol, maxiter=maxiter,
                     )
+            elif config.resolve_precond(n) == "amg":
+                # Unstructured at scale: smoothed-aggregation AMG around the
+                # fused matrix-free operator — the mesh-agnostic half of
+                # MUMPS' role (main.F90:354-390). Host-side setup, device
+                # cycles; chunked CG dispatches (lax loops with V-cycle
+                # bodies miscompile on this TPU backend).
+                from fem_tpu.solver import amg as amg_mod
+
+                log("    AMG preconditioner (smoothed aggregation)")
+                op = op_mod.build(system)
+                hier = amg_mod.build(system, system.bc_dofs, dtype=dtype)
+                bc_mask = jnp.zeros(n, dtype=bool).at[system.bc_dofs].set(True)
+                mf_s = jnp.asarray(bc_mask, dtype=dtype)
+
+                def _mv(ops, v):
+                    o, _ = ops
+                    keep = 1.0 - mf_s
+                    return op_mod.matvec(o, v * keep) * keep + v * mf_s
+
+                def _pc(ops, r):
+                    o, h = ops
+                    keep = 1.0 - mf_s
+                    return amg_mod.v_cycle(
+                        h, lambda v: op_mod.matvec(o, v * keep) * keep + v * mf_s, r
+                    )
+
+                def _cg_solve(op_unused, F, dg_unused, bc_dofs, bc_vals, x0):
+                    ubc = jnp.zeros(n, dtype=dtype).at[bc_dofs].set(bc_vals)
+                    b = cg.constrained_rhs(
+                        lambda v: op_mod.matvec(op, v), F, bc_mask, ubc
+                    )
+                    res = cg.pcg_chunked(
+                        _mv, b, _pc, (op, hier),
+                        rtol=rtol if rtol else 1e-9,
+                        maxiter=maxiter if maxiter else 400,
+                    )
+                    return cg.CGResult(
+                        x=res.x * (1.0 - mf_s) + ubc * mf_s,
+                        iters=res.iters, resnorm=res.resnorm,
+                    )
+
+                diag = None
             else:
                 op = op_mod.build(system)
                 diag = op_mod.diag(op)
