@@ -17,18 +17,35 @@ Secondary numbers (CG solve wall-clock at ~1M DOF) go to stderr.
 """
 
 import json
+import os
 import sys
 import time
 
 import jax
+
+# Persistent compilation cache: the chunked MG-CG program is large and this
+# host has ONE cpu core — cold client-side compiles cost minutes. The cache
+# survives across processes (verified through the axon relay), so repeat
+# bench runs skip them. Disable with FEM_TPU_NO_CACHE=1.
+if os.environ.get("FEM_TPU_NO_CACHE", "0") != "1":
+    _cache = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                          ".jax_cache")
+    os.makedirs(_cache, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", _cache)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
 import jax.numpy as jnp
 import numpy as np
 
 REFERENCE_64CORE_ELEMS_PER_SEC = 2.0e6  # fallback; measured when possible
 
 
+_T0 = time.time()
+
+
 def log(msg):
-    print(msg, file=sys.stderr, flush=True)
+    print(f"[{time.time() - _T0:7.1f}s] {msg}", file=sys.stderr, flush=True)
 
 
 def measure_reference_baseline():
@@ -113,7 +130,7 @@ def bench_big_solve():
     from fem_tpu.solver import cg, multigrid
 
     n = int(os.environ.get("FEM_TPU_BENCH_N", "80"))
-    chunk = int(os.environ.get("FEM_TPU_BENCH_CHUNK", "5"))
+    chunk = int(os.environ.get("FEM_TPU_BENCH_CHUNK", "4"))
     # ALL setup runs on the CPU backend: eager f64 setup ops cost ~200s of
     # remote compiles on the axon relay; the results are small arrays that
     # transfer in milliseconds.
@@ -243,6 +260,86 @@ def bench_element_stiffness_pallas(ne=131072, iters=20, dtype=jnp.float32):
     return ne / dt, dt
 
 
+def bench_operators(n=64, iters=30):
+    """Matvec/solve-path operator throughput — the ops that dominate solves
+    (VERDICT r1: 'benchmark the operator, not just the kernel').
+
+    Reports GFLOP/s + effective HBM GB/s for (a) the structured stencil
+    matvec (matmul and planes schedules) and (b) the fused unstructured
+    matvec, all f32 on-chip. Results go to stderr as JSON lines and into
+    BENCH_extra.json."""
+    from fem_tpu.io import meshgen
+    from fem_tpu.models.system import System
+    from fem_tpu.ops import operator as op_mod
+    from fem_tpu.ops import structured
+    from fem_tpu.ops.stiffness import lame
+
+    cpu = jax.devices("cpu")[0]
+    tpu = jax.devices()[0]
+    recs = []
+
+    with jax.default_device(cpu):
+        lam, mu = lame(jnp.asarray(200e9, jnp.float32),
+                       jnp.asarray(0.3, jnp.float32))
+        st = structured.build((1.0 / n,) * 3, (n + 1,) * 3, lam, mu,
+                              dtype=jnp.float32)
+        rng = np.random.default_rng(0)
+        u = jnp.asarray(rng.standard_normal(st.ndof), jnp.float32)
+    st, u = jax.device_put((st, u), tpu)
+    ncells = (n) ** 3
+    flops_stencil = 2 * ncells * 24 * 24  # k_e-apply flops per matvec
+
+    def run(f, op, v):
+        g = jax.jit(f)
+        out = g(op, v)
+        _ = float(jnp.sum(out))
+        t0 = time.perf_counter()
+        acc = 0.0
+        for _ in range(iters):
+            acc = acc + jnp.sum(g(op, v))
+        _ = float(acc)
+        return (time.perf_counter() - t0) / iters
+
+    for name, fn in (("stencil_matmul", structured.matvec),
+                     ("stencil_planes", structured.matvec_planes)):
+        dt = run(fn, st, u)
+        recs.append({
+            "metric": f"matvec_{name}", "value": round(flops_stencil / dt / 1e9, 1),
+            "unit": "GFLOP/s", "ndof": st.ndof, "ms": round(dt * 1e3, 3),
+            "eff_GBps": round(st.ndof * 4 * 2 / dt / 1e9, 1),
+        })
+
+    # fused unstructured operator on a jittered (non-box) mesh
+    nj = max(n // 2, 8)
+    with jax.default_device(cpu):
+        p = meshgen.hex_box_problem(nj, nj, nj, lx=1.0, ly=1.0, lz=1.0,
+                                    jitter=0.25)
+        s = System(p, dtype=jnp.float32)
+        fop = op_mod.build(s)
+        uj = jnp.asarray(rng.standard_normal(s.ndof), jnp.float32)
+    fop, uj = jax.device_put((fop, uj), tpu)
+    dt = run(op_mod.matvec, fop, uj)
+    flops_fused = 2 * nj ** 3 * 24 * 24
+    recs.append({
+        "metric": "matvec_fused_unstructured",
+        "value": round(flops_fused / dt / 1e9, 1), "unit": "GFLOP/s",
+        "ndof": s.ndof, "ms": round(dt * 1e3, 3),
+        "eff_GBps": round(s.ndof * 4 * 2 / dt / 1e9, 1),
+    })
+
+    import os
+
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "BENCH_extra.json")
+    for rec in recs:
+        log(json.dumps(rec))
+        try:
+            with open(path, "a") as f:
+                f.write(json.dumps(rec) + "\n")
+        except OSError:
+            pass
+
+
 def main():
     baseline, how = measure_reference_baseline()
     log(f"reference 64-core baseline: {baseline:.3e} elems/sec ({how})")
@@ -280,6 +377,10 @@ def main():
             signal.alarm(0)
     except Exception as e:
         log(f"pallas headline skipped: {e!r}")
+    try:
+        bench_operators()
+    except Exception as e:
+        log(f"operator bench skipped: {e!r}")
     # 1.59M-DOF MG-IR solve, subprocess-isolated with a hard kill (the axon
     # runtime in this image has a history of wedging; every known silent
     # miscompile — bool selects, in-jit bool casts, loop-carried V-cycle

@@ -81,6 +81,19 @@ class Config:
     # decks use geometric multigrid regardless.
     precond: str = "auto"
     amg_threshold: int = 20000
+    # Inner-tolerance strategy for the matrix-free Newton-Krylov path:
+    # "ew" = Eisenstat-Walker choice 2 (loose early, tight late), "fixed" =
+    # constant 1e-6 (the round-1 behavior).
+    forcing: str = "ew"
+    # Inner Krylov method for the matfree Newton path: "auto" = CG with a
+    # GMRES fallback when the cohesive tangent goes indefinite (the MUMPS-
+    # pivoting/gmres+asm role, main.F90:365-371,392-394); "cg" = plain CG
+    # (no fallback).
+    inner_krylov: str = "auto"
+    # Dense SNES path: run each Newton iteration (residual/Jacobian/line
+    # search) as ONE jitted dispatch with a single host sync per iteration
+    # (newton.solve_step_jit) instead of the host-driven loop.
+    jit_newton: bool = True
     quirks: bool = False
     viscoelastic: bool = False
     plane_stress: bool = False

@@ -156,6 +156,133 @@ def _kernel(ec_ref, lam_ref, mu_ref, selr_ref, selc_ref,
     out_ref[:] = out
 
 
+# ---------------------------------------------------------------------------
+# Fused stencil matvec (the production hot op of the big solve)
+# ---------------------------------------------------------------------------
+#
+# structured.matvec materializes a (ne, 24) gather (24x the DOF vector) and
+# runs 8 scatter-adds; structured.matvec_planes is the fused XLA schedule.
+# This kernel is the Pallas version of the planes schedule: one pass over a
+# zero-padded component-planes array resident in VMEM x-slabs (manual DMA
+# with a one-plane halo each side — BlockSpec blocks cannot overlap), the
+# full 64-corner-pair x 3x3-block stencil unrolled as VPU FMAs, and the
+# cell-existence masks built from iota comparisons in-register. HBM traffic
+# is exactly u + out (the XLA schedule reads the padded array once per
+# shift). Scalar isotropic material only (k_ref constant across cells).
+
+_HEX_OFFS = [
+    (0, 0, 0), (1, 0, 0), (1, 1, 0), (0, 1, 0),
+    (0, 0, 1), (1, 0, 1), (1, 1, 1), (0, 1, 1),
+]
+
+
+def _stencil_kernel_factory(nx, ny, nz, bx):
+    from jax.experimental.pallas import tpu as pltpu
+
+    def kernel(kref_ref, u_hbm, out_ref):
+        i = pl.program_id(0)
+
+        def body(slab, sem):
+            dma = pltpu.make_async_copy(
+                u_hbm.at[:, pl.ds(i * bx, bx + 2)], slab, sem
+            )
+            dma.start()
+            dma.wait()
+            dtype = out_ref.dtype
+
+            # per-axis cell-existence masks as f32 via where (no bool casts)
+            ix = jax.lax.broadcasted_iota(jnp.int32, (bx, ny, nz), 0)
+            gx = ix + i * bx
+            iy = jax.lax.broadcasted_iota(jnp.int32, (bx, ny, nz), 1)
+            iz = jax.lax.broadcasted_iota(jnp.int32, (bx, ny, nz), 2)
+            one = jnp.ones((bx, ny, nz), dtype=dtype)
+            zero = jnp.zeros((bx, ny, nz), dtype=dtype)
+
+            def axis_mask(g, off, nax):
+                c = g - off
+                return jnp.where(
+                    jnp.logical_and(c >= 0, c <= nax - 2), one, zero
+                )
+
+            masks = []
+            for off_a in _HEX_OFFS:
+                m = (
+                    axis_mask(gx, off_a[0], nx)
+                    * axis_mask(iy, off_a[1], ny)
+                    * axis_mask(iz, off_a[2], nz)
+                )
+                masks.append(m)
+
+            for p in range(3):
+                tot = None
+                for a, off_a in enumerate(_HEX_OFFS):
+                    acc = None
+                    for b, off_b in enumerate(_HEX_OFFS):
+                        dx = off_b[0] - off_a[0]
+                        dy = off_b[1] - off_a[1]
+                        dz = off_b[2] - off_a[2]
+                        for q in range(3):
+                            kv = kref_ref[0, (a * 3 + p) * 24 + b * 3 + q]
+                            uq = slab[
+                                q,
+                                1 + dx : 1 + dx + bx,
+                                1 + dy : 1 + dy + ny,
+                                1 + dz : 1 + dz + nz,
+                            ]
+                            term = kv * uq
+                            acc = term if acc is None else acc + term
+                    t = masks[a] * acc
+                    tot = t if tot is None else tot + t
+                out_ref[p] = tot
+
+        pl.run_scoped(
+            body,
+            slab=pltpu.VMEM((3, bx + 2, ny + 2, nz + 2), out_ref.dtype),
+            sem=pltpu.SemaphoreType.DMA(()),
+        )
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnames=("shape", "block_x", "interpret"))
+def stencil_matvec_pallas(k_ref, u, shape, block_x: int = 8,
+                          interpret: bool = False):
+    """K @ u for the scalar-material box-grid operator as ONE Pallas kernel.
+
+    Args:
+      k_ref: (24, 24) combined reference element stiffness
+        (lam * k_lam + mu * k_mu of structured.StencilOperator).
+      u: (ndof,) = (nx*ny*nz*3,) DOF vector, node-grid interleaved like
+        structured.matvec.
+      shape: static (nx, ny, nz) node counts.
+    Returns (ndof,), identical to structured.matvec up to f32 round-off.
+    """
+    nx, ny, nz = shape
+    bx = block_x
+    nb = -(-nx // bx)
+    dtype = u.dtype
+    grid = u.reshape(nx, ny, nz, 3)
+    comps = jnp.moveaxis(grid, -1, 0)  # (3, nx, ny, nz)
+    # pad: one halo plane in y/z; x padded to nb*bx + 2 so every slab DMA
+    # (bx + 2 planes at offset i*bx) stays in bounds
+    U = jnp.pad(comps, ((0, 0), (1, 1 + nb * bx - nx), (1, 1), (1, 1)))
+
+    out = pl.pallas_call(
+        _stencil_kernel_factory(nx, ny, nz, bx),
+        grid=(nb,),
+        in_specs=[
+            pl.BlockSpec((1, 576), lambda i: (i * 0, i * 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+        ],
+        out_specs=pl.BlockSpec((3, bx, ny, nz), lambda i: (0, i, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((3, nb * bx, ny, nz), dtype),
+        interpret=interpret,
+    )(k_ref.reshape(1, 576).astype(dtype), U)
+    out = out[:, :nx]
+    return jnp.moveaxis(out, 0, -1).reshape(-1)
+
+
 @functools.partial(jax.jit, static_argnames=("block_e", "interpret"))
 def hex8_stiffness_pallas(ecoords_l, lam, mu, block_e: int = 256,
                           interpret: bool = False):

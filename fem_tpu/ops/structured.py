@@ -194,7 +194,23 @@ def _corner_slices(shape, off):
     return tuple(slice(o, o + n - 1) for o, n in zip(off, shape))
 
 
+# Which schedule matvec() uses for SCALAR-material operators:
+#   "matmul" — the (ne, nn*pdim) gather + MXU matmul + scatter-add form
+#   "planes" — the fused 27/9-point component-planes stencil (matvec_planes)
+# Read at TRACE time (module-level switch, not a pytree field, so existing
+# operator pytrees keep their treedef). Heterogeneous fields always use the
+# matmul form.
+MATVEC_IMPL = "matmul"
+
+
 def matvec(op: StencilOperator, u):
+    """K @ u — dispatches on MATVEC_IMPL for scalar materials."""
+    if MATVEC_IMPL == "planes" and op.lam.ndim == 0:
+        return matvec_planes(op, u)
+    return matvec_matmul(op, u)
+
+
+def matvec_matmul(op: StencilOperator, u):
     """K @ u via 8 (or 4) shifted slices + one or two big matmuls."""
     pdim = op.pdim
     shape = op.shape

@@ -27,6 +27,12 @@ class CGResult(NamedTuple):
     x: jnp.ndarray
     iters: jnp.ndarray
     resnorm: jnp.ndarray
+    # True when a non-positive curvature p^T A p was encountered — the
+    # operator is indefinite and CG's minimization property (and its
+    # recurrence residual) are void. Callers should fall back to GMRES
+    # (newton.solve_step_matfree does). Only pcg() sets this. (Plain bool
+    # default: a jnp default would initialize the backend at import time.)
+    indefinite: bool = False
 
 
 def masked_operator(matvec: Callable, bc_mask):
@@ -98,23 +104,27 @@ def pcg(
     rz0 = jnp.vdot(r0, z0)
 
     def cond(state):
-        x, r, p, rz, k = state
+        x, r, p, rz, k, indef = state
         return jnp.logical_and(jnp.linalg.norm(r) > tol, k < maxiter)
 
     def body(state):
-        x, r, p, rz, k = state
+        x, r, p, rz, k, indef = state
         ap = matvec(p)
-        alpha = rz / jnp.vdot(p, ap)
+        pap = jnp.vdot(p, ap)
+        indef = jnp.logical_or(indef, pap <= 0.0)
+        alpha = rz / pap
         x = x + alpha * p
         r = r - alpha * ap
         z = precond(r)
         rz_new = jnp.vdot(r, z)
         beta = rz_new / rz
         p = z + beta * p
-        return (x, r, p, rz_new, k + 1)
+        return (x, r, p, rz_new, k + 1, indef)
 
-    x, r, p, rz, k = jax.lax.while_loop(cond, body, (x0, r0, p0, rz0, 0))
-    return CGResult(x=x, iters=k, resnorm=jnp.linalg.norm(r))
+    x, r, p, rz, k, indef = jax.lax.while_loop(
+        cond, body, (x0, r0, p0, rz0, 0, jnp.asarray(False))
+    )
+    return CGResult(x=x, iters=k, resnorm=jnp.linalg.norm(r), indefinite=indef)
 
 
 def pcg_host_split(matvec, b, precond_host, operands, rtol: float = 1e-9,

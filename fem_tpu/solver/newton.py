@@ -24,11 +24,26 @@ from __future__ import annotations
 
 from typing import NamedTuple
 
+import jax
 import jax.numpy as jnp
+import numpy as np
 
 from fem_tpu.config import Config
 from fem_tpu.models.system import PENALTY, System
 from fem_tpu.solver import direct
+
+
+
+# Host-sync instrumentation: every device->host scalar read in the dense
+# Newton paths goes through _host() so tests can count syncs
+# (tests/test_jit_newton.py asserts solve_step_jit uses >=5x fewer).
+SYNC_COUNT = 0
+
+
+def _host(x):
+    global SYNC_COUNT
+    SYNC_COUNT += 1
+    return float(x)
 
 
 class NewtonResult(NamedTuple):
@@ -36,6 +51,9 @@ class NewtonResult(NamedTuple):
     iters: int
     resnorm: float
     converged: bool
+    # number of inner solves that used the GMRES indefinite-tangent fallback
+    # (matfree path only; see solve_step_matfree)
+    gmres_fallbacks: int = 0
 
 
 def solve_step(
@@ -94,7 +112,7 @@ def solve_step(
 
     J = jacobian(du)
     R = residual(du, J)
-    r0 = float(jnp.linalg.norm(R))
+    r0 = _host(jnp.linalg.norm(R))
     rnorm = r0
     tol = max(config.newton_rtol * r0, config.newton_atol)
 
@@ -110,7 +128,7 @@ def solve_step(
             if bc_mode == "eliminate":
                 du_trial = jnp.where(bc_mask, ubc, du_trial)
             R_trial = residual(du_trial, J)
-            r_trial = float(jnp.linalg.norm(R_trial))
+            r_trial = _host(jnp.linalg.norm(R_trial))
             if jnp.isfinite(jnp.asarray(r_trial)) and r_trial < best_r:
                 best_lam, best_r = lam, r_trial
                 if r_trial <= (1.0 - 1e-4 * lam) * rnorm:
@@ -123,16 +141,156 @@ def solve_step(
         du_new = du + best_lam * delta
         if bc_mode == "eliminate":
             du_new = jnp.where(bc_mask, ubc, du_new)
-        step_norm = float(jnp.linalg.norm(du_new - du))
+        step_norm = _host(jnp.linalg.norm(du_new - du))
         du = du_new
         iters += 1
         J = jacobian(du)
         R = residual(du, J)
-        rnorm = float(jnp.linalg.norm(R))
+        rnorm = _host(jnp.linalg.norm(R))
         if rnorm <= tol:
             converged = True
             break
-        if step_norm <= config.newton_stol * max(float(jnp.linalg.norm(du)), 1e-300):
+        if step_norm <= config.newton_stol * max(_host(jnp.linalg.norm(du)), 1e-300):
+            converged = True
+            break
+
+    return NewtonResult(du=du, iters=iters, resnorm=rnorm, converged=converged)
+
+
+def solve_step_jit(
+    system: System,
+    config: Config,
+    aggregate_u,
+    du0,
+    F_ext,
+    bc_mode: str = "penalty",
+):
+    """solve_step with the ENTIRE Newton iteration (residual, Jacobian,
+    robust solve, backtracking line search, convergence tests) inside one
+    jitted function — exactly ONE host sync per Newton iteration (the
+    convergence read), vs ~4-24 for the host-driven solve_step (per-trial
+    line-search norms, step norms). Iterates are identical to solve_step up
+    to fusion round-off (asserted in tests/test_jit_newton.py).
+
+    The loop itself stays on the host (one dispatch per iteration) rather
+    than in lax.while_loop: deep loop bodies carrying state have miscompiled
+    on this image's TPU backend (CLAUDE.md), and a deck-scale dispatch is
+    ~ms. SNES semantics follow m_global.F90:98-235.
+    """
+    global SYNC_COUNT
+    quirks = config.quirks
+    reference_form = config.resolve_formulation(bc_mode) == "reference"
+    bc_dofs = system.bc_dofs
+    bc_vals = system.bc_step_vals()
+    n = system.ndof
+    bc_mask = jnp.zeros(n, dtype=bool).at[bc_dofs].set(True)
+    ubc = jnp.zeros(n, dtype=F_ext.dtype).at[bc_dofs].set(bc_vals)
+
+    K_el = system.dense_K()
+    penalty = bc_mode == "penalty"
+
+    def jacobian_raw(du):
+        return K_el + system.coh_stiffness_dense(aggregate_u + du, quirks)
+
+    def jacobian(du):
+        J = jacobian_raw(du)
+        if penalty:
+            return J.at[bc_dofs, bc_dofs].set(PENALTY)
+        J = jnp.where(bc_mask[:, None] | bc_mask[None, :], 0.0, J)
+        return J.at[bc_dofs, bc_dofs].set(1.0)
+
+    def residual(du):
+        F = F_ext + system.coh_force(aggregate_u + du, quirks)
+        if penalty:
+            F = F.at[bc_dofs].set(PENALTY * bc_vals)
+            mul = jacobian_raw(du) if reference_form else K_el
+            mul = mul.at[bc_dofs, bc_dofs].set(PENALTY)
+            return mul @ du - F
+        mul = jacobian_raw(du) if reference_form else K_el
+        R = mul @ du - F
+        return jnp.where(bc_mask, du - ubc, R)
+
+    def pin(du):
+        return jnp.where(bc_mask, ubc, du) if bc_mode == "eliminate" else du
+
+    def robust_solve(J, rhs):
+        # null-pivot regularization (MUMPS icntl(24)=1 equivalent), jit-safe
+        row_scale = jnp.max(jnp.abs(J), axis=1)
+        ref = jnp.max(row_scale)
+        nullf = (row_scale <= 1e-12 * ref).astype(J.dtype)
+        keep = 1.0 - nullf
+        J2 = J * keep[:, None] * keep[None, :] + jnp.diag(nullf)
+        rhs2 = rhs * keep
+        x = jnp.linalg.solve(J2, rhs2)
+        return jax.lax.cond(
+            jnp.all(jnp.isfinite(x)),
+            lambda: x,
+            lambda: jnp.linalg.lstsq(J2, rhs2, rcond=None)[0],
+        )
+
+    @jax.jit
+    def iterate(du, rnorm):
+        J = jacobian(du)
+        R = residual(du)
+        delta = robust_solve(J, -R)
+
+        # backtracking line search, same policy as solve_step
+        def trial_r(lam):
+            return jnp.linalg.norm(residual(pin(du + lam * delta)))
+
+        def cond(c):
+            lam, best_lam, best_r, tries, done = c
+            return jnp.logical_and(~done, tries < 20)
+
+        def body(c):
+            lam, best_lam, best_r, tries, done = c
+            r_t = trial_r(lam)
+            better = jnp.logical_and(jnp.isfinite(r_t), r_t < best_r)
+            best_lam = jnp.where(better, lam, best_lam)
+            best_r = jnp.where(better, r_t, best_r)
+            done = jnp.logical_and(better, r_t <= (1.0 - 1e-4 * lam) * rnorm)
+            return (lam * 0.5, best_lam, best_r, tries + 1, done)
+
+        init = (
+            jnp.asarray(1.0, du.dtype),
+            jnp.asarray(jnp.nan, du.dtype),
+            rnorm,
+            0,
+            jnp.asarray(False),
+        )
+        _, best_lam, best_r, _, _ = jax.lax.while_loop(cond, body, init)
+        found = jnp.isfinite(best_lam)
+        du_new = pin(du + jnp.where(found, best_lam, 0.0) * delta)
+        step_norm = jnp.linalg.norm(du_new - du)
+        r_new = jnp.linalg.norm(residual(du_new))
+        return du_new, jnp.stack(
+            [r_new, step_norm, jnp.linalg.norm(du_new),
+             found.astype(du.dtype)]
+        )
+
+    du = pin(du0)
+    R0 = residual(du)
+    r0 = _host(jnp.linalg.norm(R0))
+    rnorm = r0
+    tol = max(config.newton_rtol * r0, config.newton_atol)
+    iters = 0
+    converged = rnorm <= tol
+    while not converged and iters < config.newton_maxit:
+        du_new, stats = iterate(du, jnp.asarray(rnorm, du.dtype))
+        SYNC_COUNT += 1
+        stats = np.asarray(stats)  # the ONE host sync of this iteration
+        rnorm_new, step_norm, du_norm, found = (
+            float(stats[0]), float(stats[1]), float(stats[2]), bool(stats[3]),
+        )
+        if not found:
+            break
+        du = du_new
+        rnorm = rnorm_new
+        iters += 1
+        if rnorm <= tol:
+            converged = True
+            break
+        if step_norm <= config.newton_stol * max(du_norm, 1e-300):
             converged = True
             break
 
@@ -235,10 +393,20 @@ def solve_step_matfree(
     Same residual/Jacobian semantics as solve_step (eliminate BC mode), but
     J delta = -R is solved by Jacobi-PCG with
     J v = K_el v + K_coh(u) v applied matrix-free — no dense assembly, so it
-    scales to meshes where the dense SNES path cannot. The cohesive tangent
-    can lose definiteness past the traction peak; the Krylov iteration cap +
-    backtracking line search keep the outer iteration safe (the reference
-    leans on MUMPS pivoting there instead, main.F90:365-371).
+    scales to meshes where the dense SNES path cannot.
+
+    Robustness past the Xu–Needleman traction peak, where the cohesive
+    tangent goes INDEFINITE (the reference leans on MUMPS pivoting there,
+    main.F90:365-371, and its commented-out alternative is literally
+    gmres+asm, main.F90:392-394): if the CG inner solve stalls (indefinite
+    systems break CG's minimization property) or its direction fails the
+    line search, the step falls back to restarted GMRES (solver/gmres.py),
+    which only needs J nonsingular.
+
+    Inner tolerance uses Eisenstat–Walker forcing (choice 2:
+    eta_k = 0.9 (||R_k||/||R_{k-1}||)^2, clipped to [1e-6, 0.5]) — loose
+    early inner solves, tight near convergence — unless
+    config.forcing == "fixed".
     """
     quirks = config.quirks
     reference_form = config.resolve_formulation("eliminate") == "reference"
@@ -280,18 +448,46 @@ def solve_step_matfree(
     rnorm = r0
     tol = max(config.newton_rtol * r0, config.newton_atol)
 
-    iters = 0
-    converged = rnorm <= tol
-    while not converged and iters < config.newton_maxit:
+    from fem_tpu.solver import gmres as gmres_mod
+
+    def inner_solve(du, R, inner_rtol):
+        """CG first; GMRES(30) fallback on stall (indefinite tangent)."""
         mv = cg_mod.masked_operator(lambda v: jac_matvec(du, v), bc_mask)
         diag = el_diag + _coh_diag(system, aggregate_u + du, quirks)
         diag = jnp.where(bc_mask, 1.0, diag)
         diag = jnp.where(jnp.abs(diag) < 1e-30, 1.0, diag)
+        rhs = jnp.where(bc_mask, 0.0, -R)
         res = cg_mod.pcg(
-            mv, jnp.where(bc_mask, 0.0, -R), diag=jnp.abs(diag),
-            rtol=1e-6, maxiter=max(200, int(jnp.sqrt(n)) * 4),
+            mv, rhs, diag=jnp.abs(diag),
+            rtol=inner_rtol, maxiter=max(200, int(jnp.sqrt(n)) * 4),
         )
+        rhs_norm = float(jnp.linalg.norm(rhs))
         delta = jnp.where(bc_mask, 0.0, res.x)
+        # Trust nothing CG claims on an indefinite system: check negative
+        # curvature AND the TRUE residual of the direction (one matvec) —
+        # the recurrence residual can look converged while x is garbage.
+        true_rel = float(jnp.linalg.norm(rhs - mv(delta))) / max(rhs_norm, 1e-300)
+        rel = true_rel
+        used_gmres = False
+        allow_gmres = getattr(config, "inner_krylov", "auto") != "cg"
+        if allow_gmres and (
+            not np.isfinite(rel)
+            or rel > 10.0 * inner_rtol
+            or bool(res.indefinite)
+        ):
+            minv = 1.0 / jnp.abs(diag)
+            gres = gmres_mod.gmres(
+                mv, rhs, precond=lambda v: minv * v,
+                rtol=inner_rtol, restart=30,
+                maxiter=max(200, int(jnp.sqrt(n)) * 4),
+            )
+            grel = float(gres.resnorm) / max(rhs_norm, 1e-300)
+            if np.isfinite(grel) and grel < rel:
+                delta = jnp.where(bc_mask, 0.0, gres.x)
+                used_gmres = True
+        return delta, used_gmres
+
+    def line_search(du, delta, rnorm):
         lam = 1.0
         best_lam, best_r = None, rnorm
         for _ in range(20):
@@ -302,13 +498,50 @@ def solve_step_matfree(
                 if r_trial <= (1.0 - 1e-4 * lam) * rnorm:
                     break
             lam *= 0.5
+        return best_lam
+
+    ew = getattr(config, "forcing", "ew") == "ew"
+    prev_rnorm = None
+    iters = 0
+    fallbacks = 0
+    converged = rnorm <= tol
+    while not converged and iters < config.newton_maxit:
+        if ew and prev_rnorm is not None and prev_rnorm > 0.0:
+            inner_rtol = min(0.5, max(1e-6, 0.9 * (rnorm / prev_rnorm) ** 2))
+        else:
+            inner_rtol = 1e-4 if ew else 1e-6
+        delta, used_gmres = inner_solve(du, R, inner_rtol)
+        best_lam = line_search(du, delta, rnorm)
+        if (
+            best_lam is None
+            and not used_gmres
+            and getattr(config, "inner_krylov", "auto") != "cg"
+        ):
+            # CG direction useless (indefinite tangent past the traction
+            # peak): retry with a tight GMRES direction before stagnating.
+            mv = cg_mod.masked_operator(lambda v: jac_matvec(du, v), bc_mask)
+            diag = el_diag + _coh_diag(system, aggregate_u + du, quirks)
+            diag = jnp.where(bc_mask, 1.0, diag)
+            diag = jnp.where(jnp.abs(diag) < 1e-30, 1.0, diag)
+            minv = 1.0 / jnp.abs(diag)
+            gres = gmres_mod.gmres(
+                mv, jnp.where(bc_mask, 0.0, -R),
+                precond=lambda v: minv * v, rtol=1e-8, restart=30,
+                maxiter=max(200, int(jnp.sqrt(n)) * 4),
+            )
+            delta = jnp.where(bc_mask, 0.0, gres.x)
+            used_gmres = True
+            best_lam = line_search(du, delta, rnorm)
         if best_lam is None:
             break
+        if used_gmres:
+            fallbacks += 1
         du_new = pin(du + best_lam * delta)
         step_norm = float(jnp.linalg.norm(du_new - du))
         du = du_new
         iters += 1
         R = residual(du)
+        prev_rnorm = rnorm
         rnorm = float(jnp.linalg.norm(R))
         if rnorm <= tol:
             converged = True
@@ -317,7 +550,8 @@ def solve_step_matfree(
             converged = True
             break
 
-    return NewtonResult(du=du, iters=iters, resnorm=rnorm, converged=converged)
+    return NewtonResult(du=du, iters=iters, resnorm=rnorm, converged=converged,
+                        gmres_fallbacks=fallbacks)
 
 
 def _coh_diag(system: System, u_total, quirks: bool):

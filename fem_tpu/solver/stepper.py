@@ -289,7 +289,11 @@ def run(
                         system, config, aggregate_u, du, t_init + problem.dt
                     )
                 elif solver_kind == "direct":
-                    res = newton.solve_step(
+                    step_fn = (
+                        newton.solve_step_jit if config.jit_newton
+                        else newton.solve_step
+                    )
+                    res = step_fn(
                         system, config, aggregate_u, du, F, bc_mode=bc_mode
                     )
                 else:

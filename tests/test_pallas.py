@@ -54,3 +54,27 @@ def test_pallas_symmetry():
     got = np.asarray(hex8_stiffness_pallas(ec, lam, mu, block_e=64,
                                            interpret=True))
     np.testing.assert_allclose(got, np.transpose(got, (1, 0, 2)), atol=1e-12)
+
+
+def test_stencil_matvec_pallas_matches_xla():
+    """The fused Pallas stencil matvec (production hot op of the big solve)
+    equals structured.matvec at f32 round-off, including boundary masks and
+    a non-dividing leading axis (tail program masking)."""
+    import numpy as np
+
+    from fem_tpu.ops import structured
+    from fem_tpu.ops.pallas_kernels import stencil_matvec_pallas
+    from fem_tpu.ops.stiffness import lame
+
+    lam, mu = lame(jnp.asarray(200e9, jnp.float32),
+                   jnp.asarray(0.3, jnp.float32))
+    for shape, bx in (((9, 7, 6), 4), ((8, 5, 5), 3), ((6, 6, 6), 8)):
+        op = structured.build((0.1, 0.2, 0.15), shape, lam, mu,
+                              dtype=jnp.float32)
+        rng = np.random.default_rng(0)
+        u = jnp.asarray(rng.standard_normal(op.ndof), jnp.float32)
+        k = op.lam * op.k_lam + op.mu * op.k_mu
+        f0 = structured.matvec(op, u)
+        f1 = stencil_matvec_pallas(k, u, shape, block_x=bx, interpret=True)
+        rel = float(jnp.linalg.norm(f1 - f0) / jnp.linalg.norm(f0))
+        assert rel < 1e-6, (shape, bx, rel)
