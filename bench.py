@@ -157,31 +157,39 @@ def bench_big_solve():
     )
     log("big solve: setup done (CPU), arrays on device")
 
+    # GRID-SHAPED state + planes schedule throughout: flat elementwise ops
+    # fused onto matvec outputs corrupt the array tail at this size
+    # (miscompile #5, structured.matvec_g), and the planes stencil is ~10x
+    # faster than the matmul form (8.2 ms vs 87 ms per 1.59M-dof matvec).
+    structured.MATVEC_IMPL = "planes"
+    gsh = (n + 1, n + 1, n + 1, 3)
+    mf32_g = mf32.reshape(gsh)
+    mf64_g = jax.device_put(bc_mask.astype(jnp.float64).reshape(gsh), tpu)
+    ubc_g = ubc.reshape(gsh)
+    F_g = F.reshape(gsh)
+
     def A32(ops, v):
         op32_, _ = ops
-        keep = 1.0 - mf32
-        return structured.matvec(op32_, v * keep) * keep + v * mf32
+        keep = 1.0 - mf32_g
+        return structured.matvec_g(op32_, v * keep) * keep + v * mf32_g
 
     def M32(ops, r):
         _, h32_ = ops
-        return multigrid.v_cycle(h32_, r)
+        return multigrid.v_cycle_g(h32_, r)
 
     @jax.jit
-    def true_resid(x):
-        A64 = cg.masked_operator(lambda v: structured.matvec(op64, v), bc_mask)
-        b = cg.constrained_rhs(
-            lambda v: structured.matvec(op64, v), F, bc_mask, ubc
-        )
-        return b - A64(x)
-
-    mf64 = bc_mask.astype(jnp.float64)
+    def true_resid(xg):
+        keep = 1.0 - mf64_g
+        ax = structured.matvec_g(op64, xg * keep) * keep + xg * mf64_g
+        b = (F_g - structured.matvec_g(op64, ubc_g)) * keep + ubc_g * mf64_g
+        return b - ax
 
     def solve():
-        x = ubc
+        x = ubc_g
         inner_total = 0
         for k in range(8):
             r = true_resid(x)
-            rn = float(jnp.linalg.norm(r))
+            rn = float(jnp.sqrt(jnp.sum(r * r)))
             if k == 0:
                 r0 = rn
             if rn <= 1e-9 * r0:
@@ -190,7 +198,7 @@ def bench_big_solve():
                                  (op32, hier32), rtol=1e-5, maxiter=80,
                                  chunk=chunk)
             inner_total += int(res.iters)
-            x = (x + res.x.astype(jnp.float64)) * (1.0 - mf64) + ubc * mf64
+            x = (x + res.x.astype(jnp.float64)) * (1.0 - mf64_g) + ubc_g * mf64_g
         return x, k, inner_total, rn / r0
 
     t0 = time.perf_counter()

@@ -210,11 +210,33 @@ def matvec(op: StencilOperator, u):
     return matvec_matmul(op, u)
 
 
+def matvec_g(op: StencilOperator, g):
+    """K @ u on GRID-SHAPED (*shape, pdim) vectors — no flat reshapes.
+
+    Why this exists: on this image's TPU backend, a flat (ndof,) elementwise
+    multiply FUSED onto the stencil matvec's output silently corrupts the
+    last ~tile of the array at >=1.59M dofs (isolated: `matvec(v)*keep` has
+    29 corrupted tail entries at n=80 while `matvec(v*keep)` and the same
+    combine done in (*shape, pdim) layout are exact — the FIFTH such
+    size-triggered miscompile, see CLAUDE.md). All fused solver code (CG
+    chunks, V-cycles) therefore carries grid-shaped state and only
+    flattens, if at all, as the program's final op.
+    """
+    sh = op.shape + (op.pdim,)
+    if MATVEC_IMPL == "planes" and op.lam.ndim == 0:
+        return _planes_core(op, jnp.moveaxis(g, -1, 0))
+    return _matmul_core(op, g).reshape(sh)
+
+
 def matvec_matmul(op: StencilOperator, u):
     """K @ u via 8 (or 4) shifted slices + one or two big matmuls."""
+    return _matmul_core(op, u.reshape(*op.shape, op.pdim)).reshape(-1)
+
+
+def _matmul_core(op: StencilOperator, nodes):
+    """Grid-shaped core of the matmul schedule: (*shape, pdim) in/out."""
     pdim = op.pdim
     shape = op.shape
-    nodes = u.reshape(*shape, pdim)
     ue = jnp.stack(
         [nodes[_corner_slices(shape, off)] for off in op.offsets], axis=-2
     )  # (*cells, nn, pdim)
@@ -234,7 +256,7 @@ def matvec_matmul(op: StencilOperator, u):
     out = jnp.zeros_like(nodes)
     for c, off in enumerate(op.offsets):
         out = out.at[_corner_slices(shape, off)].add(fe[..., c, :])
-    return out.reshape(-1)
+    return out
 
 
 def matvec_planes(op: StencilOperator, u):
@@ -258,14 +280,18 @@ def matvec_planes(op: StencilOperator, u):
     """
     if op.lam.ndim != 0:
         raise NotImplementedError("matvec_planes requires scalar materials")
+    comps = jnp.moveaxis(u.reshape(*op.shape, op.pdim), -1, 0)
+    return _planes_core(op, comps).reshape(-1)
+
+
+def _planes_core(op: StencilOperator, comps):
+    """Planes-schedule core: comps (pdim, *shape) in, (*shape, pdim) out."""
     shape = op.shape
     pdim = op.pdim
     offs = op.offsets
     nn = len(offs)
-    dtype = u.dtype
+    dtype = comps.dtype
     k_ref = (op.lam * op.k_lam + op.mu * op.k_mu).reshape(nn, pdim, nn, pdim)
-    grid = u.reshape(*shape, pdim)
-    comps = jnp.moveaxis(grid, -1, 0)  # (pdim, *shape)
     U = jnp.pad(comps, [(0, 0)] + [(1, 1)] * pdim)
 
     totals = [None] * pdim
@@ -297,7 +323,7 @@ def matvec_planes(op: StencilOperator, u):
             t = mask_a * acc[p]
             totals[p] = t if totals[p] is None else totals[p] + t
     out = jnp.stack(totals, axis=0)  # (pdim, *shape)
-    return jnp.moveaxis(out, 0, -1).reshape(-1)
+    return jnp.moveaxis(out, 0, -1)
 
 
 def matvec_pairs(op: StencilOperator, u):

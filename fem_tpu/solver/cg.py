@@ -169,6 +169,50 @@ def pcg_host_split(matvec, b, precond_host, operands, rtol: float = 1e-9,
     return CGResult(x=x, iters=jnp.asarray(k), resnorm=jnp.asarray(rnorm))
 
 
+_CHUNK_PROGRAMS = {}
+
+
+def _chunk_programs(matvec, precond, chunk):
+    """Build (or fetch) the jitted first/advance programs for pcg_chunked.
+    Keyed on the function objects + chunk so the expensive trace+compile
+    happens once per operator pair, not once per solve."""
+    key = (matvec, precond, chunk)
+    cached = _CHUNK_PROGRAMS.get(key)
+    if cached is not None:
+        return cached
+
+    def _dot(a, c):
+        return jnp.sum(a * c)
+
+    @jax.jit
+    def first(operands, b):
+        r = b
+        z = precond(operands, r)
+        return r, z, _dot(r, z)
+
+    def one(operands, state):
+        x, r, p, rz = state
+        ap = matvec(operands, p)
+        alpha = rz / _dot(p, ap)
+        x = x + alpha * p
+        r = r - alpha * ap
+        z = precond(operands, r)
+        rz_new = _dot(r, z)
+        p = z + (rz_new / rz) * p
+        return (x, r, p, rz_new)
+
+    @jax.jit
+    def advance(operands, x, r, p, rz):
+        state = (x, r, p, rz)
+        for _ in range(chunk):
+            state = one(operands, state)
+        x, r, p, rz = state
+        return x, r, p, rz, jnp.sqrt(_dot(r, r))
+
+    _CHUNK_PROGRAMS[key] = (first, advance)
+    return first, advance
+
+
 def pcg_chunked(matvec, b, precond, operands, rtol: float = 1e-9,
                 atol: float = 0.0, maxiter: int = 400,
                 chunk: int = 5) -> CGResult:
@@ -180,40 +224,27 @@ def pcg_chunked(matvec, b, precond, operands, rtol: float = 1e-9,
     pays ~25 relay dispatches + a host sync per iteration (~850 ms/iter
     at 824k dofs). Unrolled iterations are compiled correctly, so this
     fuses `chunk` complete PCG iterations (matvec + V-cycle + vector
-    updates) into ONE program and syncs the residual norm once per chunk:
-    measured 46 ms/iter at 824k dofs — ~18x faster — at the cost of up to
-    chunk-1 extra iterations past convergence and a longer one-time
-    compile (~90 s at chunk=4..5, scale-dependent).
+    updates) into ONE program and syncs the residual norm once per chunk.
+    With the grid-shaped planes-stencil MG operators this runs the full
+    1.59M-dof solve in ~1.1 s steady (48 iterations) — the costs are up to
+    chunk-1 extra iterations past convergence and a one-time trace+compile
+    that grows with chunk (minutes at 1.6M dofs; amortized by the
+    per-(matvec,precond,chunk) program cache below plus the persistent
+    compilation cache).
 
     matvec(operands, v) and precond(operands, r) must be jit-traceable.
+    Pass the SAME function objects across calls — the traced/compiled chunk
+    program is cached per (matvec, precond, chunk), so repeated solves (the
+    iterative-refinement outer loop) skip the minutes-long retrace.
+
+    Shape-agnostic: b (and the operators) may be GRID-shaped — e.g.
+    (*node_shape, pdim) for the stencil/multigrid path. All reductions are
+    sum-based (no ravels), so no flat elementwise op ever fuses onto a
+    matvec output (TPU miscompile #5, see structured.matvec_g).
     """
+    first, advance = _chunk_programs(matvec, precond, chunk)
 
-    @jax.jit
-    def first(operands, b):
-        r = b
-        z = precond(operands, r)
-        return r, z, jnp.vdot(r, z)
-
-    def one(operands, state):
-        x, r, p, rz = state
-        ap = matvec(operands, p)
-        alpha = rz / jnp.vdot(p, ap)
-        x = x + alpha * p
-        r = r - alpha * ap
-        z = precond(operands, r)
-        rz_new = jnp.vdot(r, z)
-        p = z + (rz_new / rz) * p
-        return (x, r, p, rz_new)
-
-    @jax.jit
-    def advance(operands, x, r, p, rz):
-        state = (x, r, p, rz)
-        for _ in range(chunk):
-            state = one(operands, state)
-        x, r, p, rz = state
-        return x, r, p, rz, jnp.linalg.norm(r)
-
-    bnorm = float(jnp.linalg.norm(b))
+    bnorm = float(jnp.sqrt(jnp.sum(b * b)))
     tol = max(rtol * bnorm, atol)
     x = jnp.zeros_like(b)
     r, z, rz = first(operands, b)

@@ -140,6 +140,10 @@ def build(op: structured.StencilOperator, bc_dofs, min_cells: int = 2,
                        coarse_smooth=coarse_smooth)
 
 
+def _gshape(level: MGLevel):
+    return level.op.shape + (level.op.pdim,)
+
+
 def _masked_matvec(level: MGLevel, x):
     # float-mask arithmetic with PRE-CAST masks: both bool selects and
     # in-jit bool->float casts miscompile on this TPU backend at large sizes
@@ -148,11 +152,35 @@ def _masked_matvec(level: MGLevel, x):
     return structured.matvec(level.op, x * keep) * keep + x * mf
 
 
+def _masked_matvec_g(level: MGLevel, xg):
+    """Grid-shaped masked operator: (*shape, pdim) in/out.
+
+    All elementwise mask/diag arithmetic stays in grid layout — a FLAT
+    elementwise multiply fused onto the stencil matvec's output corrupts
+    the array tail at >=1.59M dofs on this TPU backend (miscompile #5, see
+    structured.matvec_g). Reshapes of jit INPUTS (maskf/diag) are safe; only
+    flat elementwise on computed outputs triggers it.
+    """
+    sh = _gshape(level)
+    mf = level.maskf.reshape(sh)
+    keep = 1.0 - mf
+    return structured.matvec_g(level.op, xg * keep) * keep + xg * mf
+
+
 def _smooth(level: MGLevel, omega, x, b, iters: int):
     for _ in range(iters):
         r = b - _masked_matvec(level, x)
         x = x + omega * r / level.diag
     return x
+
+
+def _smooth_g(level: MGLevel, omega, xg, bg, iters: int):
+    sh = _gshape(level)
+    dg = level.diag.reshape(sh)
+    for _ in range(iters):
+        r = bg - _masked_matvec_g(level, xg)
+        xg = xg + omega * r / dg
+    return xg
 
 
 def _interp_axis(a, axis):
@@ -199,41 +227,64 @@ def _restrict_axis(r, axis):
     return out
 
 
-def prolong(xc, fine_shape, pdim):
-    a = xc.reshape(*[(s + 1) // 2 for s in fine_shape], pdim)
+def prolong_g(xcg, fine_shape, pdim):
+    a = xcg
     for ax in range(pdim):
         a = _interp_axis(a, ax)
-    return a.reshape(-1)
+    return a
+
+
+def restrict_g(rfg, fine_shape, pdim):
+    a = rfg
+    for ax in range(pdim):
+        a = _restrict_axis(a, ax)
+    return a
+
+
+def prolong(xc, fine_shape, pdim):
+    a = xc.reshape(*[(s + 1) // 2 for s in fine_shape], pdim)
+    return prolong_g(a, fine_shape, pdim).reshape(-1)
 
 
 def restrict(rf, fine_shape, pdim):
-    a = rf.reshape(*fine_shape, pdim)
-    for ax in range(pdim):
-        a = _restrict_axis(a, ax)
-    return a.reshape(-1)
+    return restrict_g(rf.reshape(*fine_shape, pdim), fine_shape, pdim).reshape(-1)
 
 
 def v_cycle(h: MGHierarchy, r):
-    """One V(nu_pre, nu_post) cycle; linear symmetric -> valid CG precond."""
-    return _v(h, 0, r)
+    """One V(nu_pre, nu_post) cycle; linear symmetric -> valid CG precond.
+    Flat (ndof,) wrapper around the grid-shaped core (the final reshape is
+    the program's last op — safe; see _masked_matvec_g)."""
+    sh = _gshape(h.levels[0])
+    return v_cycle_g(h, r.reshape(sh)).reshape(-1)
 
 
-def _v(h: MGHierarchy, idx: int, r):
+def v_cycle_g(h: MGHierarchy, rg):
+    """Grid-shaped V-cycle: (*shape, pdim) in/out — the form to embed in
+    larger fused programs (pcg_chunked)."""
+    return _v_g(h, 0, rg)
+
+
+def _v_g(h: MGHierarchy, idx: int, rg):
     level = h.levels[idx]
+    sh = _gshape(level)
     if idx == len(h.levels) - 1:
         if h.coarse_smooth:
-            return _smooth(level, h.omega, jnp.zeros_like(r), r, h.coarse_smooth)
-        return jnp.matmul(h.coarse_inv, r, precision=jax.lax.Precision.HIGHEST)
+            return _smooth_g(level, h.omega, jnp.zeros_like(rg), rg,
+                             h.coarse_smooth)
+        # tiny dense solve: flat ops at this size (<=4096) are safe
+        x = jnp.matmul(h.coarse_inv, rg.reshape(-1),
+                       precision=jax.lax.Precision.HIGHEST)
+        return x.reshape(sh)
     pdim = level.op.pdim
-    keep = 1.0 - level.maskf
-    x = _smooth(level, h.omega, jnp.zeros_like(r), r, h.nu_pre)
-    res = (r - _masked_matvec(level, x)) * keep
-    rc = restrict(res, level.op.shape, pdim)
-    keep_c = 1.0 - h.levels[idx + 1].maskf
-    xc = _v(h, idx + 1, rc * keep_c) * keep_c
-    x = x + prolong(xc, level.op.shape, pdim)
-    x = _smooth(level, h.omega, x, r, h.nu_post)
-    return x
+    keep = 1.0 - level.maskf.reshape(sh)
+    x = _smooth_g(level, h.omega, jnp.zeros_like(rg), rg, h.nu_pre)
+    res = (rg - _masked_matvec_g(level, x)) * keep
+    rc = restrict_g(res, level.op.shape, pdim)
+    csh = _gshape(h.levels[idx + 1])
+    keep_c = 1.0 - h.levels[idx + 1].maskf.reshape(csh)
+    xc = _v_g(h, idx + 1, rc * keep_c) * keep_c
+    x = x + prolong_g(xc, level.op.shape, pdim)
+    return _smooth_g(level, h.omega, x, rg, h.nu_post)
 
 
 def preconditioner(h: MGHierarchy) -> Callable:
@@ -248,44 +299,50 @@ def preconditioner(h: MGHierarchy) -> Callable:
 # program (one compile per level shape, dispatched from Python), trading
 # ~1.4 ms relay overhead per dispatch for robustness.
 
-_jit_smooth = jax.jit(_smooth, static_argnames=("iters",))
+_jit_smooth = jax.jit(_smooth_g, static_argnames=("iters",))
 
 
 @jax.jit
-def _jit_residual_restrict(level: MGLevel, x, r, coarse_maskf):
-    """res = mask(r - A x); rc = mask_c(restrict(res)) — one small program."""
-    keep = 1.0 - level.maskf
-    res = (r - _masked_matvec(level, x)) * keep
-    rc = restrict(res, level.op.shape, level.op.pdim)
-    return rc * (1.0 - coarse_maskf)
+def _jit_residual_restrict(level: MGLevel, xg, rg, coarse_maskf):
+    """res = mask(r - A x); rc = mask_c(restrict(res)) — one small program,
+    all grid-shaped (miscompile #5: flat elementwise on matvec outputs)."""
+    sh = _gshape(level)
+    keep = 1.0 - level.maskf.reshape(sh)
+    res = (rg - _masked_matvec_g(level, xg)) * keep
+    rc = restrict_g(res, level.op.shape, level.op.pdim)
+    csh = tuple(rc.shape)
+    return rc * (1.0 - coarse_maskf.reshape(csh))
 
 
 @jax.jit
-def _jit_prolong_add(level: MGLevel, x, xc, coarse_maskf):
-    xc = xc * (1.0 - coarse_maskf)
-    return x + prolong(xc, level.op.shape, level.op.pdim)
+def _jit_prolong_add(level: MGLevel, xg, xcg, coarse_maskf):
+    xcg = xcg * (1.0 - coarse_maskf.reshape(xcg.shape))
+    return xg + prolong_g(xcg, level.op.shape, level.op.pdim)
 
 
 @jax.jit
-def _jit_coarse_inv(coarse_inv, r):
-    return jnp.matmul(coarse_inv, r, precision=jax.lax.Precision.HIGHEST)
+def _jit_coarse_inv(coarse_inv, rg):
+    x = jnp.matmul(coarse_inv, rg.reshape(-1),
+                   precision=jax.lax.Precision.HIGHEST)
+    return x.reshape(rg.shape)
 
 
 def v_cycle_host(h: MGHierarchy, r):
     """One V-cycle dispatched level-by-level from the host (small jitted
     pieces; see module comment). Numerically identical to v_cycle."""
-    return _v_host(h, 0, r)
+    sh = _gshape(h.levels[0])
+    return _v_host(h, 0, r.reshape(sh)).reshape(-1)
 
 
-def _v_host(h: MGHierarchy, idx: int, r):
+def _v_host(h: MGHierarchy, idx: int, rg):
     level = h.levels[idx]
     if idx == len(h.levels) - 1:
         if h.coarse_smooth:
-            return _jit_smooth(level, h.omega, jnp.zeros_like(r), r,
+            return _jit_smooth(level, h.omega, jnp.zeros_like(rg), rg,
                                iters=h.coarse_smooth)
-        return _jit_coarse_inv(h.coarse_inv, r)
-    x = _jit_smooth(level, h.omega, jnp.zeros_like(r), r, iters=h.nu_pre)
-    rc = _jit_residual_restrict(level, x, r, h.levels[idx + 1].maskf)
+        return _jit_coarse_inv(h.coarse_inv, rg)
+    x = _jit_smooth(level, h.omega, jnp.zeros_like(rg), rg, iters=h.nu_pre)
+    rc = _jit_residual_restrict(level, x, rg, h.levels[idx + 1].maskf)
     xc = _v_host(h, idx + 1, rc)
     x = _jit_prolong_add(level, x, xc, h.levels[idx + 1].maskf)
-    return _jit_smooth(level, h.omega, x, r, iters=h.nu_post)
+    return _jit_smooth(level, h.omega, x, rg, iters=h.nu_post)

@@ -157,42 +157,92 @@ def run(
                 # backend at large sizes (CLAUDE.md)
                 mf_s = jnp.asarray(bc_mask, dtype=dtype)
 
-                st_matvec = structured.matvec
+                sharded = False
                 if dev_mesh is not None:
                     cells_x = st_op.shape[0] - 1
                     nd_ = dev_mesh.devices.size
                     if cells_x % nd_ == 0:
                         log("    Stencil matvec sharded (slab + psum halo)")
-                        st_matvec = lambda o, v: structured.matvec_sharded(  # noqa: E731
-                            o, v, dev_mesh
-                        )
+                        sharded = True
                     else:
                         log(f"    ! {cells_x} lead cells not divisible by "
                             f"{nd_} devices; running replicated")
 
-                def _mv(ops, v):
-                    o, _ = ops
-                    keep = 1.0 - mf_s
-                    return st_matvec(o, v * keep) * keep + v * mf_s
+                gsh = st_op.shape + (st_op.pdim,)
+                mf_g = mf_s.reshape(gsh)
 
-                def _pc(ops, r):
-                    _, h = ops
-                    return multigrid.v_cycle_host(h, r)
+                # Small decks: per-level host-driven V-cycle dispatches —
+                # correct everywhere and avoids tracing a chunk program per
+                # tiny problem (test-suite latency). At scale the fused
+                # chunked path wins by ~40x (BASELINE.md).
+                small = n < 100_000
+                if sharded or small:
+                    # flat vectors + host-driven V-cycle (per-level
+                    # dispatches); the slab-sharded matvec when a mesh fits
+                    if sharded:
+                        def st_matvec(o, v):
+                            return structured.matvec_sharded(o, v, dev_mesh)
+                    else:
+                        st_matvec = structured.matvec
 
-                def _cg_solve(op_unused, F, dg_unused, bc_dofs, bc_vals, x0):
-                    ubc = jnp.zeros(n, dtype=dtype).at[bc_dofs].set(bc_vals)
-                    b = cg.constrained_rhs(
-                        lambda v: st_matvec(st_op, v), F, bc_mask, ubc
-                    )
-                    res = cg.pcg_host_split(
-                        _mv, b, _pc, (st_op, hier),
-                        rtol=rtol if rtol else 1e-9,
-                        maxiter=maxiter if maxiter else 400,
-                    )
-                    return cg.CGResult(
-                        x=res.x * (1.0 - mf_s) + ubc * mf_s,
-                        iters=res.iters, resnorm=res.resnorm,
-                    )
+                    def _mv(ops, v):
+                        o, _ = ops
+                        keep = 1.0 - mf_s
+                        return st_matvec(o, v * keep) * keep + v * mf_s
+
+                    def _pc(ops, r):
+                        _, h = ops
+                        return multigrid.v_cycle_host(h, r)
+
+                    def _cg_solve(op_unused, F, dg_unused, bc_dofs, bc_vals, x0):
+                        ubc = jnp.zeros(n, dtype=dtype).at[bc_dofs].set(bc_vals)
+                        b = cg.constrained_rhs(
+                            lambda v: st_matvec(st_op, v), F, bc_mask, ubc,
+                        )
+                        res = cg.pcg_host_split(
+                            _mv, b, _pc, (st_op, hier),
+                            rtol=rtol if rtol else 1e-9,
+                            maxiter=maxiter if maxiter else 400,
+                        )
+                        return cg.CGResult(
+                            x=res.x * (1.0 - mf_s) + ubc * mf_s,
+                            iters=res.iters, resnorm=res.resnorm,
+                        )
+                else:
+                    # single-device: GRID-shaped chunked MG-CG with the fused
+                    # planes stencil — the fast path that also sidesteps TPU
+                    # miscompile #5 (flat elementwise on matvec outputs
+                    # corrupts at ~1.6M dofs; see structured.matvec_g).
+                    structured.MATVEC_IMPL = "planes"
+
+                    def _mv(ops, vg):
+                        o, _ = ops
+                        keep = 1.0 - mf_g
+                        return structured.matvec_g(o, vg * keep) * keep + vg * mf_g
+
+                    def _pc(ops, rg):
+                        _, h = ops
+                        return multigrid.v_cycle_g(h, rg)
+
+                    def _cg_solve(op_unused, F, dg_unused, bc_dofs, bc_vals, x0):
+                        ubc = jnp.zeros(n, dtype=dtype).at[bc_dofs].set(bc_vals)
+                        ubc_g = ubc.reshape(gsh)
+                        keep = 1.0 - mf_g
+                        Fg = F.reshape(gsh)
+                        b = (
+                            Fg - structured.matvec_g(st_op, ubc_g)
+                        ) * keep + ubc_g * mf_g
+                        res = cg.pcg_chunked(
+                            _mv, b, _pc, (st_op, hier),
+                            rtol=rtol if rtol else 1e-9,
+                            maxiter=maxiter if maxiter else 400,
+                            chunk=2,
+                        )
+                        x = res.x * keep + ubc_g * mf_g
+                        return cg.CGResult(
+                            x=x.reshape(-1),
+                            iters=res.iters, resnorm=res.resnorm,
+                        )
 
                 op = diag = None
             elif dev_mesh is not None:
