@@ -1,4 +1,4 @@
-"""Pallas TPU kernels for the hot element ops.
+"""Pallas TPU kernels for the hot element ops — with honest measurements.
 
 `hex8_stiffness_pallas` forms batched hex8 element stiffness matrices with
 the element batch in the lane dimension — the same math as
@@ -6,18 +6,31 @@ stiffness.element_stiffness_lame_batchlast but blocked through VMEM: per
 grid step one (24, BLOCK_E) coordinate tile is resident, the 8-integration-
 point loop is unrolled with the dN tables baked in as constants, and the
 symmetric gradient-correlation tensor H (300 unique rows) is built with
-constant one-hot *selection matmuls* — the MXU performs what would otherwise
-be an irregular row-gather, and XLA's padded-intermediate lowering is
-avoided entirely.
+constant one-hot *selection matmuls*.
 
-Status: numerically exact in interpret mode (tests); on the real-TPU Mosaic
-backend the kernel compiles and runs, but Mosaic rounds matmul INPUTS to
-bf16 regardless of precision/preferred_element_type, so the one-hot
-selection matmuls cost ~1e-3 relative error, and the chipless AOT compile
-helper in this image takes ~5 minutes on the unrolled body. The XLA
-batch-last kernel (stiffness.element_stiffness_lame_batchlast) is therefore
-the production path; this kernel is the Pallas implementation baseline for
-a future exact-gather variant.
+`stencil_matvec_pallas` is the fused 27-point stencil matvec (the big
+solve's hot op) as ONE kernel: manual halo DMA per x-slab, pltpu.roll for
+the y/z shifts, iota-based cell-existence masks, all 64 corner-pair 3x3
+blocks unrolled on the VPU. It is EXACT on the real chip (0.0 rel diff vs
+the CPU reference at 1.59M dofs — notably immune to the XLA-side fused
+flat-elementwise miscompile #5, CLAUDE.md).
+
+Production status (measured, one v5e chip, f32):
+  - stencil matvec @1.59M dofs: Pallas 29.6 ms vs XLA planes schedule
+    (structured.matvec_planes) 6.5 ms. The op is VPU-bound (576 FMAs per
+    output point in the masked form); XLA's fusion reads shifted windows
+    in-register while Pallas materializes 27 pltpu.roll copies per slab —
+    there is no Mosaic primitive for fused unaligned window reads, and the
+    MXU reformulation (gather -> 24x24 matmul -> scatter in VMEM) is
+    blocked by Mosaic's 2D-matmul-only + tile-aligned memref-slice rules
+    and by Mosaic rounding matmul inputs to bf16.
+  - hex8 k_e formation: Pallas 1.06e7 elems/s vs XLA batch-last 4.17e7
+    (the one-hot selection matmuls do ~50x redundant MXU work, and Mosaic's
+    bf16 input rounding costs ~1e-3 accuracy).
+So the XLA kernels remain the production paths on this backend; both Pallas
+kernels are kept as correct, tested baselines (exactness asserted in
+tests/test_pallas.py, interpret mode on CPU + real-chip spot checks) and as
+the starting point if Mosaic gains fused window reads / f32 matmuls.
 
 Use `interpret=True` for CPU-exact testing.
 """
@@ -176,8 +189,14 @@ _HEX_OFFS = [
 ]
 
 
-def _stencil_kernel_factory(nx, ny, nz, bx):
+def _stencil_kernel_factory(nx, ny, nz, bx, yp, zp):
     from jax.experimental.pallas import tpu as pltpu
+
+    # y/z shifts are pltpu.roll (Mosaic rejects lane-dim DMA slices that are
+    # not 128-aligned); wrap-around values are provably ZEROED by the
+    # cell-existence masks below — an out-of-range read at node n in axis
+    # direction d only occurs for corner pairs whose source cell n - off_a
+    # lies outside [0, n_ax - 2], which the mask kills.
 
     def kernel(kref_ref, u_hbm, out_ref):
         i = pl.program_id(0)
@@ -190,28 +209,50 @@ def _stencil_kernel_factory(nx, ny, nz, bx):
             dma.wait()
             dtype = out_ref.dtype
 
-            # per-axis cell-existence masks as f32 via where (no bool casts)
-            ix = jax.lax.broadcasted_iota(jnp.int32, (bx, ny, nz), 0)
-            gx = ix + i * bx
-            iy = jax.lax.broadcasted_iota(jnp.int32, (bx, ny, nz), 1)
-            iz = jax.lax.broadcasted_iota(jnp.int32, (bx, ny, nz), 2)
-            one = jnp.ones((bx, ny, nz), dtype=dtype)
-            zero = jnp.zeros((bx, ny, nz), dtype=dtype)
+            # per-axis cell-existence mask FACTORS as f32 via where (no
+            # bool casts), shaped for broadcasting — the full (bx, yp, zp)
+            # products are formed transiently at use, not stored (VMEM).
+            # They also zero the y/z padding and roll wrap-around.
+            gx = jax.lax.broadcasted_iota(jnp.int32, (bx, 1, 1), 0) + i * bx
+            iy = jax.lax.broadcasted_iota(jnp.int32, (1, yp, 1), 1)
+            iz = jax.lax.broadcasted_iota(jnp.int32, (1, 1, zp), 2)
 
             def axis_mask(g, off, nax):
                 c = g - off
                 return jnp.where(
-                    jnp.logical_and(c >= 0, c <= nax - 2), one, zero
+                    jnp.logical_and(c >= 0, c <= nax - 2),
+                    jnp.ones(g.shape, dtype=dtype),
+                    jnp.zeros(g.shape, dtype=dtype),
                 )
 
             masks = []
             for off_a in _HEX_OFFS:
-                m = (
-                    axis_mask(gx, off_a[0], nx)
-                    * axis_mask(iy, off_a[1], ny)
-                    * axis_mask(iz, off_a[2], nz)
-                )
-                masks.append(m)
+                masks.append((
+                    axis_mask(gx, off_a[0], nx),
+                    axis_mask(iy, off_a[1], ny),
+                    axis_mask(iz, off_a[2], nz),
+                ))
+
+            # all 27 rolled views per component, materialized once
+            rolls = {}
+            for q in range(3):
+                base = slab[q]  # (bx + 2, yp, zp)
+                for dy in (-1, 0, 1):
+                    # pltpu.roll requires a non-negative shift; (-d) % size
+                    # is equivalent and the wrapped entries are masked. The
+                    # shift is passed as an i32 scalar: a python int lowers
+                    # to an i64 constant under jax_enable_x64, which
+                    # tpu.dynamic_rotate rejects.
+                    ry = (
+                        pltpu.roll(base, jnp.int32((-dy) % yp), axis=1)
+                        if dy else base
+                    )
+                    for dz in (-1, 0, 1):
+                        rz = (
+                            pltpu.roll(ry, jnp.int32((-dz) % zp), axis=2)
+                            if dz else ry
+                        )
+                        rolls[(q, dy, dz)] = rz
 
             for p in range(3):
                 tot = None
@@ -223,21 +264,17 @@ def _stencil_kernel_factory(nx, ny, nz, bx):
                         dz = off_b[2] - off_a[2]
                         for q in range(3):
                             kv = kref_ref[0, (a * 3 + p) * 24 + b * 3 + q]
-                            uq = slab[
-                                q,
-                                1 + dx : 1 + dx + bx,
-                                1 + dy : 1 + dy + ny,
-                                1 + dz : 1 + dz + nz,
-                            ]
+                            uq = rolls[(q, dy, dz)][1 + dx : 1 + dx + bx]
                             term = kv * uq
                             acc = term if acc is None else acc + term
-                    t = masks[a] * acc
+                    mx, my, mz = masks[a]
+                    t = acc * mx * my * mz
                     tot = t if tot is None else tot + t
                 out_ref[p] = tot
 
         pl.run_scoped(
             body,
-            slab=pltpu.VMEM((3, bx + 2, ny + 2, nz + 2), out_ref.dtype),
+            slab=pltpu.VMEM((3, bx + 2, yp, zp), out_ref.dtype),
             sem=pltpu.SemaphoreType.DMA(()),
         )
 
@@ -245,7 +282,7 @@ def _stencil_kernel_factory(nx, ny, nz, bx):
 
 
 @functools.partial(jax.jit, static_argnames=("shape", "block_x", "interpret"))
-def stencil_matvec_pallas(k_ref, u, shape, block_x: int = 8,
+def stencil_matvec_pallas(k_ref, u, shape, block_x: int = 4,
                           interpret: bool = False):
     """K @ u for the scalar-material box-grid operator as ONE Pallas kernel.
 
@@ -263,23 +300,34 @@ def stencil_matvec_pallas(k_ref, u, shape, block_x: int = 8,
     dtype = u.dtype
     grid = u.reshape(nx, ny, nz, 3)
     comps = jnp.moveaxis(grid, -1, 0)  # (3, nx, ny, nz)
-    # pad: one halo plane in y/z; x padded to nb*bx + 2 so every slab DMA
-    # (bx + 2 planes at offset i*bx) stays in bounds
-    U = jnp.pad(comps, ((0, 0), (1, 1 + nb * bx - nx), (1, 1), (1, 1)))
+    # x padded to nb*bx + 2 (one halo plane each side, tail in bounds for
+    # every slab DMA); y/z padded to (sublane 8, lane 128) multiples —
+    # Mosaic requires DMA slices tile-aligned in the trailing two dims.
+    # The padding (and roll wrap-around) is zeroed by the in-kernel masks.
+    yp = -(-ny // 8) * 8
+    zp = -(-nz // 128) * 128
+    U = jnp.pad(
+        comps, ((0, 0), (1, 1 + nb * bx - nx), (0, yp - ny), (0, zp - nz))
+    )
 
     out = pl.pallas_call(
-        _stencil_kernel_factory(nx, ny, nz, bx),
+        _stencil_kernel_factory(nx, ny, nz, bx, yp, zp),
         grid=(nb,),
         in_specs=[
             pl.BlockSpec((1, 576), lambda i: (i * 0, i * 0),
                          memory_space=pltpu.SMEM),
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            # u stays in HBM and is DMA'd slab-by-slab — under ANY the
+            # compiler put the whole 12MB array in VMEM and OOM'd
+            pl.BlockSpec(memory_space=pltpu.HBM),
         ],
-        out_specs=pl.BlockSpec((3, bx, ny, nz), lambda i: (0, i, 0, 0)),
-        out_shape=jax.ShapeDtypeStruct((3, nb * bx, ny, nz), dtype),
+        # i * 0 keeps every index i32 (a literal 0 is i64 under x64 and
+        # Mosaic fails to legalize the mixed func.return)
+        out_specs=pl.BlockSpec((3, bx, yp, zp),
+                               lambda i: (i * 0, i, i * 0, i * 0)),
+        out_shape=jax.ShapeDtypeStruct((3, nb * bx, yp, zp), dtype),
         interpret=interpret,
     )(k_ref.reshape(1, 576).astype(dtype), U)
-    out = out[:, :nx]
+    out = out[:, :nx, :ny, :nz]
     return jnp.moveaxis(out, 0, -1).reshape(-1)
 
 
