@@ -158,15 +158,24 @@ def run(
                 mf_s = jnp.asarray(bc_mask, dtype=dtype)
 
                 sharded = False
+                st_embed = st_extract = None
+                op_pad = None
                 if dev_mesh is not None:
                     cells_x = st_op.shape[0] - 1
                     nd_ = dev_mesh.devices.size
+                    sharded = True
                     if cells_x % nd_ == 0:
                         log("    Stencil matvec sharded (slab + psum halo)")
-                        sharded = True
                     else:
-                        log(f"    ! {cells_x} lead cells not divisible by "
-                            f"{nd_} devices; running replicated")
+                        # zero-material phantom cells pad the leading axis;
+                        # the shard matvec runs on the padded operator via
+                        # embed/extract shims while the MG preconditioner
+                        # stays on the original grid
+                        log(f"    Stencil matvec sharded ({cells_x} cells "
+                            f"padded to {nd_}-device slabs)")
+                        op_pad, st_embed, st_extract = structured.pad_for_devices(
+                            st_op, nd_
+                        )
 
                 gsh = st_op.shape + (st_op.pdim,)
                 mf_g = mf_s.reshape(gsh)
@@ -178,8 +187,19 @@ def run(
                 small = n < 100_000
                 if sharded or small:
                     # flat vectors + host-driven V-cycle (per-level
-                    # dispatches); the slab-sharded matvec when a mesh fits
-                    if sharded:
+                    # dispatches); the slab-sharded matvec when a mesh fits.
+                    # On padded grids the shard matvec runs on the padded
+                    # operator with embed/extract shims (phantom cells carry
+                    # zero material, so real dofs are untouched); the MG
+                    # preconditioner stays on the original grid.
+                    if sharded and st_embed is not None:
+                        def st_matvec(o, v):
+                            return st_extract(
+                                structured.matvec_sharded(
+                                    op_pad, st_embed(v), dev_mesh
+                                )
+                            )
+                    elif sharded:
                         def st_matvec(o, v):
                             return structured.matvec_sharded(o, v, dev_mesh)
                     else:

@@ -188,3 +188,22 @@ def test_sharded_operator_ke_mode(grid_system):
     np.testing.assert_allclose(
         np.asarray(op.diag()), np.asarray(system.diag()), rtol=1e-12
     )
+
+
+def test_stepper_devices_structured_nondivisible_pads():
+    """A box grid whose leading cell count does NOT divide the device count
+    runs sharded via zero-material phantom-cell padding (round 1 fell back
+    to replicated execution) and matches the single-device solve."""
+    from fem_tpu.config import Config
+    from fem_tpu.io import meshgen
+    from fem_tpu.solver import stepper
+
+    p = meshgen.hex_box_problem(6, 3, 3, lx=1.0, ly=1.0, lz=1.0,
+                                E=70.0, nu=0.25, tip_load=-1.0)
+    logs = []
+    shd = stepper.run(p, Config(solver="cg", rtol=1e-12, n_devices=8),
+                      log=logs.append)
+    ref = stepper.run(p, Config(solver="cg", rtol=1e-12))
+    assert any("padded to 8-device slabs" in m for m in logs)
+    nu_ = np.linalg.norm(ref.aggregate_u)
+    assert np.linalg.norm(shd.aggregate_u - ref.aggregate_u) < 1e-9 * nu_
