@@ -321,6 +321,7 @@ def build(
     degree: int = 3,
     dtype=jnp.float64,
     A=None,
+    filter_frac: float = 0.0,
 ) -> AMGPrecond:
     """Build the SA-AMG hierarchy for a System's elastic operator (host-side;
     returns a device pytree). `A` may be a pre-assembled scipy CSR (BCs NOT
@@ -355,6 +356,21 @@ def build(
         DinvA = sp.diags(dinv) @ level_A
         P = (P0 - omega * (DinvA @ P0)).tocsr()
         P.sum_duplicates()
+        if filter_frac > 0.0:
+            # optional PyAMG-style prolongator filtering: bounds the
+            # coarse operator's row fill (the device-side ELL width) at a
+            # convergence cost (measured +30% iterations at 0.02 on a
+            # jittered cantilever — default OFF). Each row keeps at least
+            # its max-magnitude entry.
+            absd = np.abs(P.data)
+            rows = np.repeat(np.arange(P.shape[0]), np.diff(P.indptr))
+            row_max = np.zeros(P.shape[0])
+            np.maximum.at(row_max, rows, absd)
+            mask = (absd >= filter_frac * row_max[rows]) | (
+                absd >= row_max[rows] * (1.0 - 1e-12)
+            )
+            P.data = np.where(mask, P.data, 0.0)
+            P.eliminate_zeros()
         A_c = (P.T @ level_A @ P).tocsr()
         A_c.sum_duplicates()
 
