@@ -39,6 +39,7 @@ class FusedBlock:
     """Per-element-type data, batched over elements in the LAST axis."""
 
     edofs_t: jax.Array  # (nn*pdim, ne) int32, interleaved dof ids
+    conn_t: jax.Array  # (nn, ne) int32 node ids (row-gather schedule)
     dNx: jax.Array  # (nip, pdim, nn, ne)
     scale: jax.Array  # (nip, ne) w * detJ
     lam: jax.Array  # (ne,)
@@ -54,9 +55,14 @@ class FusedOperator:
     # Node-centric ELL scatter: gather_idx[d, k] indexes the concatenated
     # per-block force vector (one extra trailing ZERO slot for padding);
     # out[d] = sum_k forces[gather_idx[d, k]]. Converts the segment-sum
-    # scatter into a dense (ndof, K) gather + axis reduction — measured
-    # several times faster on TPU (scatter-adds are the weak spot).
+    # scatter into a dense (ndof, K) gather + axis reduction.
     gather_idx: jax.Array  # (ndof, K) int32
+    # ROW-gather schedule (the production one): indices address pdim-wide
+    # NODE ROWS instead of scalar dofs — 3x fewer indices and row-
+    # vectorized fetches, measured 5.7x faster gathers on TPU. Entry rows
+    # are the concatenated per-(block, corner, element) force rows in
+    # a-major order; the trailing row is the zero slot.
+    row_gather_idx: jax.Array  # (nnds, Kn) int32
     ndof: int = dataclasses.field(metadata=dict(static=True))
 
     @property
@@ -68,6 +74,7 @@ class FusedOperator:
         blocks = tuple(
             FusedBlock(
                 b.edofs_t,
+                b.conn_t,
                 b.dNx.astype(dtype),
                 b.scale.astype(dtype),
                 b.lam.astype(dtype),
@@ -76,13 +83,28 @@ class FusedOperator:
             for b in self.blocks
         )
         return FusedOperator(blocks, self.perm, self.sorted_ids,
-                             self.gather_idx, self.ndof)
+                             self.gather_idx, self.row_gather_idx, self.ndof)
+
+
+def _ell_table(ids, nseg, zero_slot):
+    """Positions of each segment's entries, padded with `zero_slot`."""
+    nz = ids.shape[0]
+    counts = np.bincount(ids, minlength=nseg)
+    K = int(counts.max()) if nz else 1
+    table = np.full((nseg, K), zero_slot, dtype=np.int64)
+    perm = np.argsort(ids, kind="stable")
+    starts = np.zeros(nseg + 1, dtype=np.int64)
+    np.cumsum(counts, out=starts[1:])
+    col = np.arange(nz) - starts[ids[perm]]
+    table[ids[perm], col] = perm
+    return table.astype(np.int32), perm
 
 
 def build(system) -> FusedOperator:
     """Build from a models.system.System (host-side, once per problem)."""
     blocks = []
     flat_dofs = []
+    flat_nodes = []
     for name, e in system.blocks.items():
         if e["is_coh"]:
             continue
@@ -91,9 +113,11 @@ def build(system) -> FusedOperator:
         w = jnp.asarray(et.weights, dtype=system.dtype)
         scale = (detj * w[None, :]).T  # (nip, ne)
         lam, mu = stiff_ops.lame(e["E"], e["nu"])
+        conn_t = np.asarray(e["conn"]).T  # (nn, ne)
         blocks.append(
             FusedBlock(
                 edofs_t=jnp.asarray(e["edofs"]).T,
+                conn_t=jnp.asarray(conn_t.astype(np.int32)),
                 dNx=jnp.transpose(dNx, (1, 2, 3, 0)),
                 scale=scale,
                 lam=lam,
@@ -101,23 +125,20 @@ def build(system) -> FusedOperator:
             )
         )
         flat_dofs.append(np.asarray(e["edofs"]).T.reshape(-1))
+        flat_nodes.append(conn_t.reshape(-1))  # a-major row order
     flat = np.concatenate(flat_dofs) if flat_dofs else np.zeros(0, np.int32)
     perm = np.argsort(flat, kind="stable")
-    # node-centric ELL scatter table: positions of each dof's entries in
-    # the concatenated force vector, padded with a trailing zero slot
-    nz = flat.shape[0]
-    counts = np.bincount(flat, minlength=system.ndof)
-    K = int(counts.max()) if nz else 1
-    gather = np.full((system.ndof, K), nz, dtype=np.int64)  # nz = zero slot
-    starts = np.zeros(system.ndof + 1, dtype=np.int64)
-    np.cumsum(counts, out=starts[1:])
-    col = np.arange(nz) - starts[flat[perm]]
-    gather[flat[perm], col] = perm
+    gather, _ = _ell_table(flat, system.ndof, flat.shape[0])
+    fnodes = (
+        np.concatenate(flat_nodes) if flat_nodes else np.zeros(0, np.int32)
+    )
+    row_gather, _ = _ell_table(fnodes, system.nnds, fnodes.shape[0])
     return FusedOperator(
         blocks=tuple(blocks),
         perm=jnp.asarray(perm),
         sorted_ids=jnp.asarray(flat[perm]),
-        gather_idx=jnp.asarray(gather.astype(np.int32)),
+        gather_idx=jnp.asarray(gather),
+        row_gather_idx=jnp.asarray(row_gather),
         ndof=system.ndof,
     )
 
@@ -136,6 +157,13 @@ def block_force(b: FusedBlock, u):
     """
     nip, pdim, nn, ne = b.dNx.shape
     un = u[b.edofs_t].reshape(nn, pdim, ne)  # (a, q, e)
+    return block_force_un(b, un).reshape(nn * pdim, ne)
+
+
+def block_force_un(b: FusedBlock, un):
+    """block_force given the pre-gathered element displacements
+    un (nn, pdim, ne); returns (nn, pdim, ne)."""
+    nip, pdim, nn, ne = b.dNx.shape
     # g[i,p,q,e] = sum_a dNx[i,p,a,e] * un[a,q,e]
     g = None
     for a in range(nn):
@@ -146,7 +174,7 @@ def block_force(b: FusedBlock, u):
         t = g[:, p, p, :]
         tr = t if tr is None else tr + t
     sym = g + jnp.swapaxes(g, 1, 2)
-    eye = jnp.eye(pdim, dtype=u.dtype)
+    eye = jnp.eye(pdim, dtype=un.dtype)
     sigma = (
         b.lam[None, None, None, :] * tr[:, None, None, :] * eye[None, :, :, None]
         + b.mu[None, None, None, :] * sym
@@ -157,13 +185,57 @@ def block_force(b: FusedBlock, u):
     for a in range(nn):
         fa = jnp.sum(b.dNx[:, :, a, None, :] * sigma, axis=(0, 1))  # (q, e)
         rows.append(fa)
-    f = jnp.stack(rows, axis=0)  # (a, q, e)
-    return f.reshape(nn * pdim, ne)
+    return jnp.stack(rows, axis=0)  # (a, q, e)
+
+
+# Which schedule matvec() uses: "rows" (node-row gathers in component-major
+# layout — fewer indices, well-tiled fetches) or "ell" (scalar-dof ELL
+# gathers — the conservative fallback). Module-level switch read at trace
+# time, like structured.MATVEC_IMPL.
+MATVEC_IMPL = "rows"
 
 
 def matvec(op: FusedOperator, u):
-    """K @ u, matrix-free, deterministic reduction order (node-centric ELL
-    gather — see FusedOperator.gather_idx)."""
+    """K @ u, matrix-free, deterministic reduction order."""
+    if MATVEC_IMPL == "rows":
+        return matvec_rows(op, u)
+    return matvec_ell(op, u)
+
+
+def matvec_rows(op: FusedOperator, u):
+    """Node-ROW-gather schedule in COMPONENT-MAJOR layout.
+
+    Gathers fetch pdim-wide node rows (3x fewer indices than scalar-dof
+    gathers — measured 5.7x faster per gather at 527k dofs), and every
+    gather result keeps a LARGE axis in the trailing (lane) position:
+      - input:  u2c (pdim, nnds); u2c[:, conn_t] -> (pdim, nn, ne)   [ne lanes]
+      - output: padded (pdim, nrows+1); padded[:, rgi_T] ->
+                (pdim, Kn, nnds)                                      [nnds lanes]
+    A gather whose trailing dims are tiny ((Kn, pdim) = (8, 3), 42x tile
+    padding) wedged the TPU worker — never materialize that shape.
+    """
+    nnds = op.row_gather_idx.shape[0]
+    pdim = op.ndof // nnds
+    u2c = u.reshape(nnds, pdim).T  # (pdim, nnds)
+    parts = []
+    for b in op.blocks:
+        un = jnp.swapaxes(
+            u2c.at[:, b.conn_t].get(mode="promise_in_bounds"), 0, 1
+        )  # (nn, pdim, ne) — leading-axes swap only, no tiled-layout change
+        f = block_force_un(b, un)  # (nn, pdim, ne)
+        nn, _, ne = f.shape
+        parts.append(jnp.swapaxes(f, 0, 1).reshape(pdim, nn * ne))
+    rows = jnp.concatenate(parts, axis=1) if len(parts) > 1 else parts[0]
+    padded = jnp.concatenate(
+        [rows, jnp.zeros((pdim, 1), dtype=rows.dtype)], axis=1
+    )
+    inc = padded.at[:, op.row_gather_idx.T].get(mode="promise_in_bounds")
+    out_c = jnp.sum(inc, axis=1)  # (pdim, nnds)
+    return out_c.T.reshape(-1)
+
+
+def matvec_ell(op: FusedOperator, u):
+    """Scalar-dof ELL-gather schedule (kept for comparison)."""
     parts = [block_force(b, u).reshape(-1) for b in op.blocks]
     flat = jnp.concatenate(parts) if len(parts) > 1 else parts[0]
     padded = jnp.concatenate([flat, jnp.zeros(1, dtype=flat.dtype)])

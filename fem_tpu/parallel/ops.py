@@ -117,6 +117,7 @@ class ShardedOperator:
                 self.blocks.append(
                     op_mod.FusedBlock(
                         edofs_t=shard_last(b.edofs_t),
+                        conn_t=shard_last(b.conn_t),
                         dNx=shard_last(b.dNx),
                         scale=shard_last(b.scale),
                         lam=shard_last(b.lam),
@@ -144,6 +145,7 @@ class ShardedOperator:
             def block_spec(b):
                 return op_mod.FusedBlock(
                     edofs_t=P(None, axis),
+                    conn_t=P(None, axis),
                     dNx=P(None, None, None, axis),
                     scale=P(None, axis),
                     lam=P(axis),

@@ -115,3 +115,20 @@ def test_stepper_amg_route_matches_direct():
     r_dir = stepper.run(p, Config(solver="direct"))
     nu = np.linalg.norm(r_dir.aggregate_u)
     assert np.linalg.norm(r_amg.aggregate_u - r_dir.aggregate_u) < 1e-7 * nu
+
+
+def test_amg_2d():
+    """2D path: 3 rigid-body modes, quad elements."""
+    p = meshgen.quad_grid_problem(24, 24, E=100.0, nu=0.3,
+                                  tip_force=(0.0, -1.0))
+    s = System(p, dtype=jnp.float64)
+    fop = op_mod.build(s)
+    bc_mask = jnp.zeros(s.ndof, bool).at[s.bc_dofs].set(True)
+    A = cg.masked_operator(lambda v: op_mod.matvec(fop, v), bc_mask)
+    b = jnp.where(bc_mask, 0.0, s.rhs(0.0))
+    h = amg.build(s, s.bc_dofs, coarse_max=200)
+    res = cg.pcg(A, b, rtol=1e-9, maxiter=200,
+                 precond=amg.preconditioner(h, A))
+    bn = float(jnp.linalg.norm(b))
+    assert float(res.resnorm) <= 1e-9 * bn
+    assert int(res.iters) < 60
