@@ -299,40 +299,42 @@ def bench_amg_solve(n=55):
         mf32 = jnp.asarray(bc_mask, jnp.float32)
         mf64 = jnp.asarray(bc_mask, jnp.float64)
         F = s.rhs(0.0)
-    fop64, fop32, h32, mf32, mf64, F = jax.device_put(
-        (fop64, fop32, h32, mf32, mf64, F), tpu)
-    nn2 = (s.ndof // s.pdim, s.pdim)
+    with jax.default_device(cpu):
+        # COMPONENT-MAJOR state precomputed eagerly (in-program (nnds, pdim)
+        # transposes cost ~5 ms each at this size — operator.matvec_cm)
+        nnds = s.ndof // s.pdim
+        mf32_cm = jnp.asarray(np.asarray(mf32).reshape(nnds, s.pdim).T)
+        mf64_cm = jnp.asarray(np.asarray(mf64).reshape(nnds, s.pdim).T)
+        F_cm = jnp.asarray(np.asarray(F).reshape(nnds, s.pdim).T)
+    fop64, fop32, h32, mf32_cm, mf64_cm, F_cm = jax.device_put(
+        (fop64, fop32, h32, mf32_cm, mf64_cm, F_cm), tpu)
 
     def mv32(ops, v):
         o, _ = ops
-        keep = 1.0 - mf32.reshape(nn2)
-        return (
-            op_mod.matvec(o, (v * keep).reshape(-1)).reshape(nn2) * keep
-            + v * mf32.reshape(nn2)
-        )
+        keep = 1.0 - mf32_cm
+        return op_mod.matvec_cm(o, v * keep) * keep + v * mf32_cm
 
     def pc32(ops, r):
         o, hh = ops
-        keep = 1.0 - mf32
+        keep = 1.0 - mf32_cm
 
         def fine_mv(v):
-            return op_mod.matvec(o, v * keep) * keep + v * mf32
+            return op_mod.matvec_cm(o, v * keep) * keep + v * mf32_cm
 
-        return amg.v_cycle(hh, fine_mv, r.reshape(-1)).reshape(nn2)
+        return amg.v_cycle_cm(hh, fine_mv, r)
 
     @jax.jit
     def true_resid(fop, Fv, mf, x2):
-        keep2 = 1.0 - mf.reshape(nn2)
-        w = (x2 * keep2).reshape(-1)
-        ax2 = op_mod.matvec(fop, w).reshape(nn2) * keep2 + x2 * (1.0 - keep2)
-        return Fv.reshape(nn2) * keep2 - ax2
+        keep = 1.0 - mf
+        ax = op_mod.matvec_cm(fop, x2 * keep) * keep + x2 * mf
+        return Fv * keep - ax
 
     def solve():
-        x = jnp.zeros(nn2, jnp.float64)
+        x = jnp.zeros_like(F_cm, dtype=jnp.float64)
         inner = 0
         r0 = None
         for k in range(6):
-            r = true_resid(fop64, F, mf64, x)
+            r = true_resid(fop64, F_cm, mf64_cm, x)
             rn = float(jnp.sqrt(jnp.sum(r * r)))
             if r0 is None:
                 r0 = rn
@@ -342,7 +344,7 @@ def bench_amg_solve(n=55):
                                  (fop32, h32), rtol=1e-5, maxiter=120,
                                  chunk=1)
             inner += int(res.iters)
-            x = x + res.x.astype(jnp.float64) * (1.0 - mf64.reshape(nn2))
+            x = x + res.x.astype(jnp.float64) * (1.0 - mf64_cm)
         return x, inner, rn / r0
 
     t0 = time.perf_counter()

@@ -24,7 +24,7 @@ compute: ~5k flops vs ~2.3KB of matrix traffic per hex8 element.
 from __future__ import annotations
 
 import dataclasses
-from typing import Tuple
+from typing import List, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -63,6 +63,13 @@ class FusedOperator:
     # are the concatenated per-(block, corner, element) force rows in
     # a-major order; the trailing row is the zero slot.
     row_gather_idx: jax.Array  # (nnds, Kn) int32
+    # Per-block (corner, element) assembly coordinates, pre-transposed to
+    # (Kn_b, nnds): the per-block force tensor (pdim, nn, ne+1) is gathered
+    # directly at [:, row_a, row_e] — no (nn, ne) -> (nn*ne) lane/sublane
+    # relayout (which cost ~30 ms at 527k dofs). Padding points at
+    # (a=0, e=ne), the zero column.
+    row_a: Tuple[jax.Array, ...]
+    row_e: Tuple[jax.Array, ...]
     ndof: int = dataclasses.field(metadata=dict(static=True))
 
     @property
@@ -83,7 +90,8 @@ class FusedOperator:
             for b in self.blocks
         )
         return FusedOperator(blocks, self.perm, self.sorted_ids,
-                             self.gather_idx, self.row_gather_idx, self.ndof)
+                             self.gather_idx, self.row_gather_idx,
+                             self.row_a, self.row_e, self.ndof)
 
 
 def _ell_table(ids, nseg, zero_slot):
@@ -133,12 +141,29 @@ def build(system) -> FusedOperator:
         np.concatenate(flat_nodes) if flat_nodes else np.zeros(0, np.int32)
     )
     row_gather, _ = _ell_table(fnodes, system.nnds, fnodes.shape[0])
+    # per-block (corner, element) assembly coordinates, (Kn_b, nnds)
+    row_a: List = []
+    row_e: List = []
+    for bi, fn in enumerate(flat_nodes):
+        ne_b = blocks[bi].conn_t.shape[1]
+        tbl, _ = _ell_table(fn, system.nnds, fn.shape[0])
+        a_idx = (tbl // ne_b).astype(np.int32)
+        e_idx = (tbl % ne_b).astype(np.int32)
+        # zero slot: tbl == fn.shape[0] = nn_b*ne_b -> a = nn_b (OOB!);
+        # remap padding to (a=0, e=ne_b) — the appended zero column
+        pad = tbl == fn.shape[0]
+        a_idx[pad] = 0
+        e_idx[pad] = ne_b
+        row_a.append(jnp.asarray(a_idx.T))
+        row_e.append(jnp.asarray(e_idx.T))
     return FusedOperator(
         blocks=tuple(blocks),
         perm=jnp.asarray(perm),
         sorted_ids=jnp.asarray(flat[perm]),
         gather_idx=jnp.asarray(gather),
         row_gather_idx=jnp.asarray(row_gather),
+        row_a=tuple(row_a),
+        row_e=tuple(row_e),
         ndof=system.ndof,
     )
 
@@ -202,36 +227,42 @@ def matvec(op: FusedOperator, u):
     return matvec_ell(op, u)
 
 
-def matvec_rows(op: FusedOperator, u):
-    """Node-ROW-gather schedule in COMPONENT-MAJOR layout.
+def matvec_cm(op: FusedOperator, u2c):
+    """K @ u in COMPONENT-MAJOR layout: u2c, out (pdim, nnds).
 
-    Gathers fetch pdim-wide node rows (3x fewer indices than scalar-dof
-    gathers — measured 5.7x faster per gather at 527k dofs), and every
-    gather result keeps a LARGE axis in the trailing (lane) position:
-      - input:  u2c (pdim, nnds); u2c[:, conn_t] -> (pdim, nn, ne)   [ne lanes]
-      - output: padded (pdim, nrows+1); padded[:, rgi_T] ->
-                (pdim, Kn, nnds)                                      [nnds lanes]
-    A gather whose trailing dims are tiny ((Kn, pdim) = (8, 3), 42x tile
-    padding) wedged the TPU worker — never materialize that shape.
+    The node-ROW-gather schedule: gathers fetch pdim-wide node rows (3x
+    fewer indices than scalar-dof gathers — measured 5.7x faster per
+    gather at 527k dofs), and every gather result keeps a LARGE axis in
+    the trailing (lane) position:
+      - input:  u2c[:, conn_t] -> (pdim, nn, ne)          [ne lanes]
+      - output: fpad (pdim, nn, ne+1)[:, row_a, row_e] ->
+                (pdim, Kn, nnds)                          [nnds lanes]
+    Two hard-won layout rules: (1) a gather whose trailing dims are tiny
+    ((Kn, pdim) = (8, 3), 42x tile padding) WEDGED the TPU worker — never
+    materialize that shape; (2) the (nnds, pdim) <-> (pdim, nnds)
+    transposes cost ~35 ms inside a fused 527k-dof program (16 ms vs 51 ms
+    measured) — solvers should carry component-major state end-to-end and
+    only the flat-API wrapper pays them.
     """
-    nnds = op.row_gather_idx.shape[0]
-    pdim = op.ndof // nnds
-    u2c = u.reshape(nnds, pdim).T  # (pdim, nnds)
-    parts = []
-    for b in op.blocks:
+    out_c = None
+    for b, ra, re_ in zip(op.blocks, op.row_a, op.row_e):
         un = jnp.swapaxes(
             u2c.at[:, b.conn_t].get(mode="promise_in_bounds"), 0, 1
         )  # (nn, pdim, ne) — leading-axes swap only, no tiled-layout change
         f = block_force_un(b, un)  # (nn, pdim, ne)
-        nn, _, ne = f.shape
-        parts.append(jnp.swapaxes(f, 0, 1).reshape(pdim, nn * ne))
-    rows = jnp.concatenate(parts, axis=1) if len(parts) > 1 else parts[0]
-    padded = jnp.concatenate(
-        [rows, jnp.zeros((pdim, 1), dtype=rows.dtype)], axis=1
-    )
-    inc = padded.at[:, op.row_gather_idx.T].get(mode="promise_in_bounds")
-    out_c = jnp.sum(inc, axis=1)  # (pdim, nnds)
-    return out_c.T.reshape(-1)
+        fswap = jnp.swapaxes(f, 0, 1)  # (pdim, nn, ne), leading swap
+        fpad = jnp.pad(fswap, ((0, 0), (0, 0), (0, 1)))  # zero column e=ne
+        inc = fpad.at[:, ra, re_].get(mode="promise_in_bounds")
+        s = jnp.sum(inc, axis=1)  # (pdim, nnds)
+        out_c = s if out_c is None else out_c + s
+    return out_c
+
+
+def matvec_rows(op: FusedOperator, u):
+    """Flat (ndof,) wrapper around matvec_cm (pays the two transposes)."""
+    nnds = op.row_gather_idx.shape[0]
+    pdim = op.ndof // nnds
+    return matvec_cm(op, u.reshape(nnds, pdim).T).T.reshape(-1)
 
 
 def matvec_ell(op: FusedOperator, u):

@@ -286,6 +286,10 @@ class AMGLevel:
     ell_vals: jax.Array
     ell_cols: jax.Array
     dinv: jax.Array  # (n,) 1/diag (1.0 on constrained dofs)
+    # component-major copy (pdim, nnodes) — level 0 only, empty elsewhere.
+    # Precomputed eagerly: the (n,) -> (pdim, nnodes) transpose costs ~5 ms
+    # inside a fused program at 527k dofs (see operator.matvec_cm).
+    dinv_cm: jax.Array
     # prolongator fine<-coarse in ELL over FINE rows; empty on the coarsest
     p_vals: jax.Array
     p_cols: jax.Array
@@ -388,6 +392,11 @@ def build(
                 ell_vals=jnp.asarray(ell_vals),
                 ell_cols=jnp.asarray(ell_cols),
                 dinv=jnp.asarray(dinv.astype(np_dtype)),
+                dinv_cm=jnp.asarray(
+                    dinv.reshape(-1, pdim).T.astype(np_dtype)
+                    if len(levels) == 0
+                    else np.zeros((0, 0), dtype=np_dtype)
+                ),
                 p_vals=jnp.asarray(p_vals),
                 p_cols=jnp.asarray(p_cols),
                 pt_vals=jnp.asarray(Pc.data[order].astype(np_dtype)),
@@ -422,6 +431,11 @@ def build(
             ell_vals=jnp.asarray(ell_vals),
             ell_cols=jnp.asarray(ell_cols),
             dinv=jnp.asarray(dinv.astype(np_dtype)),
+            dinv_cm=jnp.asarray(
+                dinv.reshape(-1, pdim).T.astype(np_dtype)
+                if not levels
+                else np.zeros((0, 0), dtype=np_dtype)
+            ),
             p_vals=jnp.asarray(empty_f),
             p_cols=jnp.asarray(empty_i),
             pt_vals=jnp.asarray(np.zeros(0, dtype=np_dtype)),
@@ -493,3 +507,52 @@ def _v(h: AMGPrecond, i: int, mv: Callable, r):
 
 def preconditioner(h: AMGPrecond, fine_matvec: Callable) -> Callable:
     return lambda r: v_cycle(h, fine_matvec, r)
+
+
+# ---------------- component-major fine level ----------------
+#
+# The fused unstructured matvec is fastest in (pdim, nnds) component-major
+# layout (operator.matvec_cm: 16 ms vs 51 ms with per-matvec transposes at
+# 527k dofs). This cycle keeps ALL fine-level work component-major and pays
+# exactly two layout transposes per cycle, at the coarse-transfer boundary.
+
+
+def _chebyshev_cm(matvec_cm, lv: AMGLevel, x, b, degree: int):
+    theta, delta = lv.theta, lv.delta
+    sigma = theta / delta
+    rho = 1.0 / sigma
+    r = lv.dinv_cm * (b - matvec_cm(x))
+    d = r / theta
+    for _ in range(degree - 1):
+        x = x + d
+        r = r - lv.dinv_cm * matvec_cm(d)
+        rho_new = 1.0 / (2.0 * sigma - rho)
+        d = (rho_new * rho) * d + (2.0 * rho_new / delta) * r
+        rho = rho_new
+    return x + d
+
+
+def v_cycle_cm(h: AMGPrecond, fine_matvec_cm: Callable, r_cm):
+    """One V-cycle with the FINE level in (pdim, nnds) layout; coarse
+    levels run flat as in v_cycle. r_cm, result: (pdim, nnds)."""
+    lv = h.levels[0]
+    pdim, nnds = r_cm.shape
+    if len(h.levels) == 1:
+        x = jnp.matmul(h.coarse_inv, r_cm.T.reshape(-1),
+                       precision=jax.lax.Precision.HIGHEST)
+        return x.reshape(nnds, pdim).T
+    x = _chebyshev_cm(fine_matvec_cm, lv, jnp.zeros_like(r_cm), r_cm,
+                      h.degree)
+    res_cm = r_cm - fine_matvec_cm(x)
+    res_flat = res_cm.T.reshape(-1)  # layout transpose #1
+    rc = jax.ops.segment_sum(
+        lv.pt_vals * res_flat[lv.pt_fine],
+        lv.pt_coarse,
+        num_segments=lv.n_coarse,
+        indices_are_sorted=True,
+    )
+    nxt = h.levels[1]
+    xc = _v(h, 1, lambda v: _ell_matvec(nxt.ell_vals, nxt.ell_cols, v), rc)
+    corr = _ell_matvec(lv.p_vals, lv.p_cols, xc)
+    x = x + corr.reshape(nnds, pdim).T  # layout transpose #2
+    return _chebyshev_cm(fine_matvec_cm, lv, x, r_cm, h.degree)

@@ -297,31 +297,43 @@ def run(
                 hier = amg_mod.build(system, system.bc_dofs, dtype=dtype)
                 bc_mask = jnp.zeros(n, dtype=bool).at[system.bc_dofs].set(True)
                 mf_s = jnp.asarray(bc_mask, dtype=dtype)
+                # component-major state: the fused matvec's fastest layout
+                # (operator.matvec_cm); the mask transpose is eager
+                nnds_ = n // system.pdim
+                mf_cm = jnp.asarray(
+                    np.asarray(mf_s).reshape(nnds_, system.pdim).T
+                )
 
                 def _mv(ops, v):
                     o, _ = ops
-                    keep = 1.0 - mf_s
-                    return op_mod.matvec(o, v * keep) * keep + v * mf_s
+                    keep = 1.0 - mf_cm
+                    return op_mod.matvec_cm(o, v * keep) * keep + v * mf_cm
 
                 def _pc(ops, r):
                     o, h = ops
-                    keep = 1.0 - mf_s
-                    return amg_mod.v_cycle(
-                        h, lambda v: op_mod.matvec(o, v * keep) * keep + v * mf_s, r
-                    )
+                    keep = 1.0 - mf_cm
+
+                    def fine_mv(v):
+                        return op_mod.matvec_cm(o, v * keep) * keep + v * mf_cm
+
+                    return amg_mod.v_cycle_cm(h, fine_mv, r)
 
                 def _cg_solve(op_unused, F, dg_unused, bc_dofs, bc_vals, x0):
                     ubc = jnp.zeros(n, dtype=dtype).at[bc_dofs].set(bc_vals)
-                    b = cg.constrained_rhs(
-                        lambda v: op_mod.matvec(op, v), F, bc_mask, ubc
-                    )
+                    ubc_cm = ubc.reshape(nnds_, system.pdim).T
+                    keep = 1.0 - mf_cm
+                    F_cm = F.reshape(nnds_, system.pdim).T
+                    b = (
+                        F_cm - op_mod.matvec_cm(op, ubc_cm)
+                    ) * keep + ubc_cm * mf_cm
                     res = cg.pcg_chunked(
                         _mv, b, _pc, (op, hier),
                         rtol=rtol if rtol else 1e-9,
                         maxiter=maxiter if maxiter else 400,
                     )
+                    x = res.x * keep + ubc_cm * mf_cm
                     return cg.CGResult(
-                        x=res.x * (1.0 - mf_s) + ubc * mf_s,
+                        x=x.T.reshape(-1),
                         iters=res.iters, resnorm=res.resnorm,
                     )
 
