@@ -56,7 +56,7 @@ def measure_reference_baseline():
     unblocked matmul intrinsics). Falls back to a constant if the native
     library isn't built."""
     import ctypes
-    import os
+    # os imported at module level
 
     path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                         "native", "libbenchref.so")
@@ -119,7 +119,7 @@ def bench_big_solve():
     compute, dominated). The reference solves the same class of problem with
     MUMPS' distributed f64 LU (main.F90:354-390).
     """
-    import os
+    # os imported at module level
 
     import numpy as np
 
@@ -277,7 +277,7 @@ def bench_amg_solve(n=55):
     unstructured matvec's 4M-index gathers dominate; cold ~15 min without
     the persistent cache). Not run by default: the cold compile does not
     fit the default bench budget."""
-    import os
+    # os imported at module level
 
     from fem_tpu.io import meshgen
     from fem_tpu.models.system import System
@@ -425,16 +425,26 @@ def bench_operators(n=64, iters=30):
         fop = op_mod.build(s)
         uj = jnp.asarray(rng.standard_normal(s.ndof), jnp.float32)
     fop, uj = jax.device_put((fop, uj), tpu)
-    dt = run(op_mod.matvec, fop, uj)
     flops_fused = 2 * nj ** 3 * 24 * 24
+    dt = run(op_mod.matvec, fop, uj)
     recs.append({
         "metric": "matvec_fused_unstructured",
         "value": round(flops_fused / dt / 1e9, 1), "unit": "GFLOP/s",
         "ndof": s.ndof, "ms": round(dt * 1e3, 3),
         "eff_GBps": round(s.ndof * 4 * 2 / dt / 1e9, 1),
     })
+    # component-major schedule (the production layout inside solvers)
+    nnds_j = s.ndof // s.pdim
+    uj_cm = jax.device_put(uj.reshape(nnds_j, s.pdim).T, tpu)
+    dt = run(op_mod.matvec_cm, fop, uj_cm)
+    recs.append({
+        "metric": "matvec_fused_cm",
+        "value": round(flops_fused / dt / 1e9, 1), "unit": "GFLOP/s",
+        "ndof": s.ndof, "ms": round(dt * 1e3, 3),
+        "eff_GBps": round(s.ndof * 4 * 2 / dt / 1e9, 1),
+    })
 
-    import os
+    # os imported at module level
 
     path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                         "BENCH_extra.json")
@@ -500,7 +510,7 @@ def main():
     # (cg.pcg_chunked) runs ~46 ms per MG-CG iteration; steady wall is a few
     # seconds, the cold run is dominated by the one-time chunk compile.
     # Disable with FEM_TPU_BENCH_BIG=0; size via FEM_TPU_BENCH_N.
-    import os
+    # os imported at module level
 
     if os.environ.get("FEM_TPU_BENCH_BIG", "1") != "1":
         log("big solve: skipped (FEM_TPU_BENCH_BIG=0)")
