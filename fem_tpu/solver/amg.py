@@ -242,6 +242,87 @@ def _tentative(agg, naggs, dof_node, B):
     return P0, B_c, np.concatenate(dof_node_c) if dof_node_c else np.zeros(0, np.int64)
 
 
+def _empty_bt(np_dtype):
+    zi = lambda *s: jnp.asarray(np.zeros(s, dtype=np.int32))  # noqa: E731
+    zf = lambda *s: jnp.asarray(np.zeros(s, dtype=np_dtype))  # noqa: E731
+    return dict(
+        bt_kg=zi(2, 0), bt_pad_map=zi(0, 0), bt_p_aggs=zi(0, 0),
+        bt_p_vals=zf(0, 0, 0, 0), bt_r_nodes=zi(0, 0),
+        bt_r_vals=zf(0, 0, 0, 0),
+    )
+
+
+def _block_transfer_tables(P, dof_node_c, pdim, nb, nnodes, naggs):
+    """Node x aggregate BLOCK layout of the smoothed prolongator, for the
+    component-major transfer kernels (fine level only).
+
+    P couples fine NODES (pdim rows each) to AGGREGATES (<= nb contiguous
+    coarse dofs each). Scalar-dof forms of P@xc / P^T@r cost 25M/14M gather
+    indices at 527k dofs (~220/160 ms on the chip — the V-cycle's dominant
+    terms); the block forms gather one pdim- or nb-wide ROW per (node,
+    aggregate) pair instead — ~10x fewer indices, lanes-major results.
+
+    Returns numpy tables:
+      k_of_dof, g_of_dof: (nc,) position-in-aggregate / aggregate of each
+        coarse dof (aggregate dof ranges are contiguous by construction).
+      pad_map: (nb, naggs + 1) coarse-dof index or nc (zero slot); last
+        aggregate column is all-zero padding.
+      p_aggs: (Kp, nnodes) aggregate ids per node (pad: naggs).
+      p_vals: (pdim, Kp, nb, nnodes) P block values.
+      r_nodes: (Ka, naggs) contributing node ids per aggregate (pad: nnodes).
+      r_vals: (nb, pdim, Ka, naggs) P^T block values.
+    """
+    Pc = P.tocoo()
+    rows, cols, vals = Pc.row, Pc.col, Pc.data
+    nc = P.shape[1]
+    g_of_dof = np.asarray(dof_node_c, dtype=np.int64)
+    # contiguous position within the aggregate
+    cstart = np.zeros(naggs + 1, dtype=np.int64)
+    np.add.at(cstart, g_of_dof + 1, 1)
+    np.cumsum(cstart, out=cstart)
+    k_of_dof = np.arange(nc) - cstart[g_of_dof]
+
+    pad_map = np.full((nb, naggs + 1), nc, dtype=np.int64)
+    pad_map[k_of_dof, g_of_dof] = np.arange(nc)
+
+    node = rows // pdim
+    p_comp = rows % pdim
+    g_ent = g_of_dof[cols]
+    k_ent = k_of_dof[cols]
+
+    # unique (node, aggregate) pairs -> slot within node, slot within agg
+    key = node * np.int64(naggs) + g_ent
+    ukey, inv = np.unique(key, return_inverse=True)
+    unode = (ukey // naggs).astype(np.int64)
+    uagg = (ukey % naggs).astype(np.int64)
+
+    def slots(ids, nseg):
+        """per-pair slot index within its segment + segment table."""
+        order = np.argsort(ids, kind="stable")
+        counts = np.bincount(ids, minlength=nseg)
+        K = int(counts.max()) if len(ids) else 1
+        starts = np.zeros(nseg + 1, dtype=np.int64)
+        np.cumsum(counts, out=starts[1:])
+        slot = np.empty(len(ids), dtype=np.int64)
+        slot[order] = np.arange(len(ids)) - starts[ids[order]]
+        return slot, K
+
+    p_slot, Kp = slots(unode, nnodes)
+    r_slot, Ka = slots(uagg, naggs)
+
+    p_aggs = np.full((Kp, nnodes), naggs, dtype=np.int64)
+    p_aggs[p_slot, unode] = uagg
+    r_nodes = np.full((Ka, naggs), nnodes, dtype=np.int64)
+    r_nodes[r_slot, uagg] = unode
+
+    p_vals = np.zeros((pdim, Kp, nb, nnodes))
+    p_vals[p_comp, p_slot[inv], k_ent, node] = vals
+    r_vals = np.zeros((nb, pdim, Ka, naggs))
+    r_vals[k_ent, p_comp, r_slot[inv], g_ent] = vals
+    return (k_of_dof, g_of_dof, pad_map, p_aggs, p_vals, r_nodes, r_vals,
+            Kp, Ka)
+
+
 def _lambda_max(A, dinv, iters=30, seed=0):
     """Power-iteration estimate of lambda_max(D^-1 A), with 10% headroom."""
     rng = np.random.default_rng(seed)
@@ -297,6 +378,14 @@ class AMGLevel:
     pt_vals: jax.Array
     pt_fine: jax.Array  # fine dof of each nnz
     pt_coarse: jax.Array  # ascending coarse dof of each nnz
+    # BLOCK transfer tables (fine level only; empty elsewhere) — see
+    # _block_transfer_tables
+    bt_kg: jax.Array  # (2, nc) int32: k_of_dof / g_of_dof
+    bt_pad_map: jax.Array  # (nb, naggs + 1) int32
+    bt_p_aggs: jax.Array  # (Kp, nnodes) int32
+    bt_p_vals: jax.Array  # (pdim, Kp, nb, nnodes)
+    bt_r_nodes: jax.Array  # (Ka, naggs) int32
+    bt_r_vals: jax.Array  # (nb, pdim, Ka, naggs)
     # Chebyshev interval [theta - delta, theta + delta] of D^-1 A
     theta: float = dataclasses.field(metadata=dict(static=True))
     delta: float = dataclasses.field(metadata=dict(static=True))
@@ -326,6 +415,7 @@ def build(
     dtype=jnp.float64,
     A=None,
     filter_frac: float = 0.0,
+    aggressive_threshold: int = 10000,
 ) -> AMGPrecond:
     """Build the SA-AMG hierarchy for a System's elastic operator (host-side;
     returns a device pytree). `A` may be a pre-assembled scipy CSR (BCs NOT
@@ -349,6 +439,18 @@ def build(
         dinv = np.where(d != 0.0, 1.0 / np.where(d == 0.0, 1.0, d), 1.0)
         lam_max = 1.1 * _lambda_max(level_A, dinv)
         N = _node_graph(level_A, dof_node, nnodes)
+        if aggressive_threshold and N.shape[0] > aggressive_threshold:
+            # aggressive (2-hop) coarsening on large levels: aggregates
+            # span the squared graph, shrinking the next level ~5x. The
+            # TPU motivation is the coarse ELL matvec: at 527k dofs the
+            # 41k-dof level-1 ELL gather (6.7M indices, ~46 ms) dominated
+            # the whole V-cycle; +~20% CG iterations is a clear win.
+            import scipy.sparse as _sp
+
+            N2 = (N @ N + N).tocsr()
+            N2.setdiag(0.0)
+            N2.eliminate_zeros()
+            N = N2
         agg, naggs = _aggregate(N)
         P0, B_c, dof_node_c = _tentative(agg, naggs, dof_node, B)
         if P0.shape[1] == 0 or P0.shape[1] >= level_A.shape[0]:
@@ -387,6 +489,23 @@ def build(
         Pc = P.tocoo()
         order = np.argsort(Pc.col, kind="stable")
         lb = lam_max / 30.0
+        if len(levels) == 0:
+            nb_modes = B.shape[1]
+            (k_of, g_of, pad_map, p_aggs, pb_vals, r_nodes, rb_vals,
+             _, _) = _block_transfer_tables(
+                P, dof_node_c, pdim, nb_modes, nnodes, naggs,
+            )
+            bt = dict(
+                bt_kg=jnp.asarray(
+                    np.stack([k_of, g_of]).astype(np.int32)),
+                bt_pad_map=jnp.asarray(pad_map.astype(np.int32)),
+                bt_p_aggs=jnp.asarray(p_aggs.astype(np.int32)),
+                bt_p_vals=jnp.asarray(pb_vals.astype(np_dtype)),
+                bt_r_nodes=jnp.asarray(r_nodes.astype(np.int32)),
+                bt_r_vals=jnp.asarray(rb_vals.astype(np_dtype)),
+            )
+        else:
+            bt = _empty_bt(np_dtype)
         levels.append(
             AMGLevel(
                 ell_vals=jnp.asarray(ell_vals),
@@ -405,6 +524,7 @@ def build(
                 theta=float(0.5 * (lam_max + lb)),
                 delta=float(0.5 * (lam_max - lb)),
                 n_coarse=int(P.shape[1]),
+                **bt,
             )
         )
         level_A = A_c
@@ -444,6 +564,7 @@ def build(
             theta=1.0,
             delta=0.5,
             n_coarse=0,
+            **_empty_bt(np_dtype),
         )
     )
     return AMGPrecond(
@@ -532,27 +653,59 @@ def _chebyshev_cm(matvec_cm, lv: AMGLevel, x, b, degree: int):
     return x + d
 
 
+def _restrict_blk(lv: AMGLevel, res_cm):
+    """P^T @ res via the node x aggregate block tables: one (Ka, naggs)
+    row-gather + unrolled small-dim FMAs. Returns flat (nc,)."""
+    res_pad = jnp.pad(res_cm, ((0, 0), (0, 1)))  # zero node column
+    gath = res_pad.at[:, lv.bt_r_nodes].get(mode="promise_in_bounds")
+    # out_pad[k, g] = sum_{p, t} r_vals[k, p, t, g] * gath[p, t, g]
+    out_pad = jnp.sum(lv.bt_r_vals * gath[None, :, :, :], axis=(1, 2))
+    return out_pad[lv.bt_kg[0], lv.bt_kg[1]]  # (nc,) flat coarse
+
+
+def _prolong_blk(lv: AMGLevel, xc):
+    """P @ xc via the block tables: one (Kp, nnodes) row-gather + FMAs.
+    Returns (pdim, nnodes) component-major."""
+    xc_ext = jnp.concatenate([xc, jnp.zeros(1, dtype=xc.dtype)])
+    xc_pad = xc_ext[lv.bt_pad_map]  # (nb, naggs + 1); pad col is zero
+    gath = xc_pad.at[:, lv.bt_p_aggs].get(mode="promise_in_bounds")
+    # corr[p, i] = sum_{s, k} p_vals[p, s, k, i] * gath[k, s, i]
+    g_t = jnp.swapaxes(gath, 0, 1)  # (Kp, nb, nnodes), leading swap
+    return jnp.sum(lv.bt_p_vals * g_t[None, :, :, :], axis=(1, 2))
+
+
 def v_cycle_cm(h: AMGPrecond, fine_matvec_cm: Callable, r_cm):
     """One V-cycle with the FINE level in (pdim, nnds) layout; coarse
-    levels run flat as in v_cycle. r_cm, result: (pdim, nnds)."""
+    levels run flat as in v_cycle. r_cm, result: (pdim, nnds).
+
+    Transfers use the block tables when present (build() creates them for
+    the fine level): measured 163/222 ms for the scalar-dof restrict/
+    prolong at 527k dofs vs ~10x fewer gather indices in block form."""
     lv = h.levels[0]
     pdim, nnds = r_cm.shape
     if len(h.levels) == 1:
         x = jnp.matmul(h.coarse_inv, r_cm.T.reshape(-1),
                        precision=jax.lax.Precision.HIGHEST)
         return x.reshape(nnds, pdim).T
+    has_blk = lv.bt_p_vals.size > 0
     x = _chebyshev_cm(fine_matvec_cm, lv, jnp.zeros_like(r_cm), r_cm,
                       h.degree)
     res_cm = r_cm - fine_matvec_cm(x)
-    res_flat = res_cm.T.reshape(-1)  # layout transpose #1
-    rc = jax.ops.segment_sum(
-        lv.pt_vals * res_flat[lv.pt_fine],
-        lv.pt_coarse,
-        num_segments=lv.n_coarse,
-        indices_are_sorted=True,
-    )
+    if has_blk:
+        rc = _restrict_blk(lv, res_cm)
+    else:
+        res_flat = res_cm.T.reshape(-1)  # layout transpose
+        rc = jax.ops.segment_sum(
+            lv.pt_vals * res_flat[lv.pt_fine],
+            lv.pt_coarse,
+            num_segments=lv.n_coarse,
+            indices_are_sorted=True,
+        )
     nxt = h.levels[1]
     xc = _v(h, 1, lambda v: _ell_matvec(nxt.ell_vals, nxt.ell_cols, v), rc)
-    corr = _ell_matvec(lv.p_vals, lv.p_cols, xc)
-    x = x + corr.reshape(nnds, pdim).T  # layout transpose #2
+    if has_blk:
+        x = x + _prolong_blk(lv, xc)
+    else:
+        corr = _ell_matvec(lv.p_vals, lv.p_cols, xc)
+        x = x + corr.reshape(nnds, pdim).T  # layout transpose
     return _chebyshev_cm(fine_matvec_cm, lv, x, r_cm, h.degree)
