@@ -420,6 +420,18 @@ def solve_step_matfree(
 
     el_diag = system.diag_fused()
 
+    # Inner preconditioner: Jacobi at deck scale; the ELASTIC smoothed-
+    # aggregation AMG at scale (config.resolve_precond). The cohesive
+    # tangent perturbs K_el only on the interface dofs, so the elastic
+    # hierarchy — built ONCE per load step — stays an effective
+    # preconditioner for J = K_el + K_coh throughout the Newton iteration
+    # (the reference's MUMPS refactorizes J every iteration instead).
+    amg_hier = None
+    if config.resolve_precond(n) == "amg":
+        from fem_tpu.solver import amg as amg_mod
+
+        amg_hier = amg_mod.build(system, bc_dofs, dtype=system.dtype)
+
     def jac_matvec(du, v):
         out = system.matvec_fused(v) + system.coh_matvec(
             aggregate_u + du, v, quirks
@@ -457,10 +469,22 @@ def solve_step_matfree(
         diag = jnp.where(bc_mask, 1.0, diag)
         diag = jnp.where(jnp.abs(diag) < 1e-30, 1.0, diag)
         rhs = jnp.where(bc_mask, 0.0, -R)
-        res = cg_mod.pcg(
-            mv, rhs, diag=jnp.abs(diag),
-            rtol=inner_rtol, maxiter=max(200, int(jnp.sqrt(n)) * 4),
-        )
+        if amg_hier is not None:
+            # NOTE (TPU): lax.while_loop around a V-cycle body is
+            # miscompile class #2 (CLAUDE.md) at ~1M dofs; on that path
+            # route through chunked dispatches as in stepper's AMG branch.
+            from fem_tpu.solver import amg as amg_mod
+
+            precond = amg_mod.preconditioner(amg_hier, mv)
+            res = cg_mod.pcg(
+                mv, rhs, precond=precond,
+                rtol=inner_rtol, maxiter=max(200, int(jnp.sqrt(n)) * 4),
+            )
+        else:
+            res = cg_mod.pcg(
+                mv, rhs, diag=jnp.abs(diag),
+                rtol=inner_rtol, maxiter=max(200, int(jnp.sqrt(n)) * 4),
+            )
         rhs_norm = float(jnp.linalg.norm(rhs))
         delta = jnp.where(bc_mask, 0.0, res.x)
         # Trust nothing CG claims on an indefinite system: check negative

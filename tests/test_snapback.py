@@ -97,3 +97,28 @@ def test_eisenstat_walker_converges_like_fixed():
     assert r_ew.converged and r_fx.converged
     nd = float(jnp.linalg.norm(r_fx.du))
     assert float(jnp.linalg.norm(r_ew.du - r_fx.du)) < 1e-5 * nd
+
+
+def test_matfree_newton_amg_inner():
+    """At scale the matfree Newton's inner CG uses the ELASTIC AMG
+    hierarchy as preconditioner (built once per load step) — far fewer
+    inner iterations than Jacobi on stiff cohesive meshes."""
+    from fem_tpu.solver import cg as cg_mod
+
+    p = meshgen.cohesive_interface_problem(
+        12, 10, open_disp=0.004, t=1.0, dt=0.5, E=3640.0, nu=0.3,
+        coh_props=(100.0, 0.01, 0.01, 1.0, 0.0, 0.0),
+    )
+    s = System(p, dtype=jnp.float64)
+    du0 = jnp.zeros(s.ndof)
+    F = s.rhs(0.0)
+    agg = jnp.zeros(s.ndof)
+    r_amg = newton.solve_step_matfree(
+        s, Config(solver="cg", precond="amg"), agg, du0, F
+    )
+    r_jac = newton.solve_step_matfree(
+        s, Config(solver="cg", precond="jacobi"), agg, du0, F
+    )
+    assert r_amg.converged and r_jac.converged
+    nd = max(float(jnp.linalg.norm(r_jac.du)), 1e-30)
+    assert float(jnp.linalg.norm(r_amg.du - r_jac.du)) < 1e-5 * nd
