@@ -178,17 +178,23 @@ def bench_big_solve():
         return multigrid.v_cycle_g(h32_, r)
 
     @jax.jit
-    def true_resid(xg):
+    def make_b(op64, F_g, ubc_g):
+        keep = 1.0 - mf64_g
+        return (F_g - structured.matvec_g(op64, ubc_g)) * keep + ubc_g * mf64_g
+
+    b64_g = make_b(op64, F_g, ubc_g)  # constant across refinement cycles
+
+    @jax.jit
+    def true_resid(op64, b64_g, xg):
         keep = 1.0 - mf64_g
         ax = structured.matvec_g(op64, xg * keep) * keep + xg * mf64_g
-        b = (F_g - structured.matvec_g(op64, ubc_g)) * keep + ubc_g * mf64_g
-        return b - ax
+        return b64_g - ax
 
     def solve():
         x = ubc_g
         inner_total = 0
         for k in range(8):
-            r = true_resid(x)
+            r = true_resid(op64, b64_g, x)
             rn = float(jnp.sqrt(jnp.sum(r * r)))
             if k == 0:
                 r0 = rn
