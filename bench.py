@@ -348,7 +348,7 @@ def bench_amg_solve(n=55):
                 break
             res = cg.pcg_chunked(mv32, r.astype(jnp.float32), pc32,
                                  (fop32, h32), rtol=1e-5, maxiter=120,
-                                 chunk=1)
+                                 chunk=2)
             inner += int(res.iters)
             x = x + res.x.astype(jnp.float64) * (1.0 - mf64_cm)
         return x, inner, rn / r0
