@@ -81,6 +81,10 @@ class Config:
     # decks use geometric multigrid regardless.
     precond: str = "auto"
     amg_threshold: int = 20000
+    # Structured decks below this DOF count use the per-level host-driven
+    # V-cycle (cheap traces); at/above it, the fused chunked MG-CG with
+    # f64/f32 iterative refinement (the production large-solve shape).
+    structured_big_threshold: int = 100000
     # Inner-tolerance strategy for the matrix-free Newton-Krylov path:
     # "ew" = Eisenstat-Walker choice 2 (loose early, tight late), "fixed" =
     # constant 1e-6 (the round-1 behavior).

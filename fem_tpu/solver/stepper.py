@@ -184,7 +184,7 @@ def run(
                 # correct everywhere and avoids tracing a chunk program per
                 # tiny problem (test-suite latency). At scale the fused
                 # chunked path wins by ~40x (BASELINE.md).
-                small = n < 100_000
+                small = n < config.structured_big_threshold
                 if sharded or small:
                     # flat vectors + host-driven V-cycle (per-level
                     # dispatches); the slab-sharded matvec when a mesh fits.
@@ -233,36 +233,97 @@ def run(
                     # planes stencil — the fast path that also sidesteps TPU
                     # miscompile #5 (flat elementwise on matvec outputs
                     # corrupts at ~1.6M dofs; see structured.matvec_g).
+                    # With an f64 config dtype the inner iterations run in
+                    # f32 under f64 iterative refinement (TPU f64 is ~10x
+                    # emulated; the bench big-solve pattern, BASELINE.md).
                     structured.MATVEC_IMPL = "planes"
-
-                    def _mv(ops, vg):
-                        o, _ = ops
-                        keep = 1.0 - mf_g
-                        return structured.matvec_g(o, vg * keep) * keep + vg * mf_g
-
-                    def _pc(ops, rg):
-                        _, h = ops
-                        return multigrid.v_cycle_g(h, rg)
-
-                    def _cg_solve(op_unused, F, dg_unused, bc_dofs, bc_vals, x0):
-                        ubc = jnp.zeros(n, dtype=dtype).at[bc_dofs].set(bc_vals)
-                        ubc_g = ubc.reshape(gsh)
-                        keep = 1.0 - mf_g
-                        Fg = F.reshape(gsh)
-                        b = (
-                            Fg - structured.matvec_g(st_op, ubc_g)
-                        ) * keep + ubc_g * mf_g
-                        res = cg.pcg_chunked(
-                            _mv, b, _pc, (st_op, hier),
-                            rtol=rtol if rtol else 1e-9,
-                            maxiter=maxiter if maxiter else 400,
-                            chunk=2,
+                    use_ir = jnp.dtype(dtype) == jnp.dtype(jnp.float64)
+                    if use_ir:
+                        log("    f64/f32 iterative refinement (chunked MG-CG inner)")
+                        st32 = st_op.astype(jnp.float32)
+                        hier32 = multigrid.build(st32, system.bc_dofs)
+                        mf32_g = jnp.asarray(
+                            np.asarray(mf_g), dtype=jnp.float32
                         )
-                        x = res.x * keep + ubc_g * mf_g
-                        return cg.CGResult(
-                            x=x.reshape(-1),
-                            iters=res.iters, resnorm=res.resnorm,
-                        )
+
+                        def _mv32(ops, vg):
+                            o, _ = ops
+                            keep = 1.0 - mf32_g
+                            return structured.matvec_g(o, vg * keep) * keep + vg * mf32_g
+
+                        def _pc32(ops, rg):
+                            _, h = ops
+                            return multigrid.v_cycle_g(h, rg)
+
+                        def _true_resid(op64, bg, mf, xg):
+                            keep = 1.0 - mf
+                            ax = structured.matvec_g(op64, xg * keep) * keep + xg * mf
+                            return bg - ax
+
+                        _true_resid_j = jax.jit(_true_resid)
+
+                        def _cg_solve(op_unused, F, dg_unused, bc_dofs, bc_vals, x0):
+                            ubc = jnp.zeros(n, dtype=dtype).at[bc_dofs].set(bc_vals)
+                            ubc_g = ubc.reshape(gsh)
+                            keep = 1.0 - mf_g
+                            Fg = F.reshape(gsh)
+                            b = (
+                                Fg - structured.matvec_g(st_op, ubc_g)
+                            ) * keep + ubc_g * mf_g
+                            the_rtol = rtol if rtol else 1e-9
+                            x = ubc_g
+                            inner_total = 0
+                            r0n = None
+                            rn = 0.0
+                            for _ in range(12):
+                                r = _true_resid_j(st_op, b, mf_g, x)
+                                rn = float(jnp.sqrt(jnp.sum(r * r)))
+                                if r0n is None:
+                                    r0n = max(rn, 1e-300)
+                                if rn <= the_rtol * r0n:
+                                    break
+                                res = cg.pcg_chunked(
+                                    _mv32, r.astype(jnp.float32), _pc32,
+                                    (st32, hier32), rtol=1e-5,
+                                    maxiter=maxiter if maxiter else 120,
+                                    chunk=2,
+                                )
+                                inner_total += int(res.iters)
+                                x = (x + res.x.astype(dtype)) * keep + ubc_g * mf_g
+                            return cg.CGResult(
+                                x=x.reshape(-1),
+                                iters=jnp.asarray(inner_total),
+                                resnorm=jnp.asarray(rn),
+                            )
+                    else:
+                        def _mv(ops, vg):
+                            o, _ = ops
+                            keep = 1.0 - mf_g
+                            return structured.matvec_g(o, vg * keep) * keep + vg * mf_g
+
+                        def _pc(ops, rg):
+                            _, h = ops
+                            return multigrid.v_cycle_g(h, rg)
+
+                        def _cg_solve(op_unused, F, dg_unused, bc_dofs, bc_vals, x0):
+                            ubc = jnp.zeros(n, dtype=dtype).at[bc_dofs].set(bc_vals)
+                            ubc_g = ubc.reshape(gsh)
+                            keep = 1.0 - mf_g
+                            Fg = F.reshape(gsh)
+                            b = (
+                                Fg - structured.matvec_g(st_op, ubc_g)
+                            ) * keep + ubc_g * mf_g
+                            res = cg.pcg_chunked(
+                                _mv, b, _pc, (st_op, hier),
+                                rtol=rtol if rtol else 1e-9,
+                                maxiter=maxiter if maxiter else 400,
+                                chunk=2,
+                            )
+                            x = res.x * keep + ubc_g * mf_g
+                            return cg.CGResult(
+                                x=x.reshape(-1),
+                                iters=res.iters, resnorm=res.resnorm,
+                            )
 
                 op = diag = None
             elif dev_mesh is not None:

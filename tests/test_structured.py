@@ -179,3 +179,25 @@ def test_generated_strip_deck_uses_structured_path():
         res.aggregate_u, ref.aggregate_u,
         atol=1e-7 * np.abs(ref.aggregate_u).max(),
     )
+
+
+def test_stepper_structured_ir_path():
+    """The large-structured stepper route (f64/f32 iterative refinement with
+    chunked MG-CG) matches the small-path solve; threshold lowered so the
+    route is exercised at test scale."""
+    import numpy as np
+
+    from fem_tpu.config import Config
+    from fem_tpu.io import meshgen
+    from fem_tpu.solver import stepper
+
+    p = meshgen.hex_box_problem(8, 8, 8, lx=1.0, ly=1.0, lz=1.0,
+                                E=200e9, nu=0.3, tip_load=-1e6)
+    logs = []
+    r_ir = stepper.run(
+        p, Config(solver="cg", structured_big_threshold=1), log=logs.append
+    )
+    r_small = stepper.run(p, Config(solver="cg"))
+    assert any("iterative refinement" in m for m in logs)
+    nu_ = np.linalg.norm(r_small.aggregate_u)
+    assert np.linalg.norm(r_ir.aggregate_u - r_small.aggregate_u) < 1e-8 * nu_
