@@ -66,6 +66,11 @@ class StencilOperator:
     lam: jax.Array
     mu: jax.Array
     shape: Tuple[int, ...] = dataclasses.field(metadata=dict(static=True))
+    # Matvec schedule carried BY the operator: "auto" defers to the module
+    # switch MATVEC_IMPL; "planes"/"matmul" pin it. Production paths pin
+    # "planes" via with_impl() instead of mutating the global (which leaked
+    # the schedule into every later solve in the process, ADVICE r2).
+    impl: str = dataclasses.field(default="auto", metadata=dict(static=True))
 
     @property
     def pdim(self) -> int:
@@ -80,13 +85,19 @@ class StencilOperator:
         return _HEX_OFFSETS if self.pdim == 3 else _QUAD_OFFSETS
 
     def astype(self, dtype):
-        return StencilOperator(
+        return dataclasses.replace(
+            self,
             k_lam=self.k_lam.astype(dtype),
             k_mu=self.k_mu.astype(dtype),
             lam=self.lam.astype(dtype),
             mu=self.mu.astype(dtype),
-            shape=self.shape,
         )
+
+    def with_impl(self, impl: str) -> "StencilOperator":
+        return dataclasses.replace(self, impl=impl)
+
+    def _impl(self) -> str:
+        return MATVEC_IMPL if self.impl == "auto" else self.impl
 
 
 def build(cell_sizes, node_shape, lam, mu, dtype=jnp.float64) -> StencilOperator:
@@ -204,8 +215,9 @@ MATVEC_IMPL = "matmul"
 
 
 def matvec(op: StencilOperator, u):
-    """K @ u — dispatches on MATVEC_IMPL for scalar materials."""
-    if MATVEC_IMPL == "planes" and op.lam.ndim == 0:
+    """K @ u — dispatches on op.impl (falling back to MATVEC_IMPL) for
+    scalar materials."""
+    if op._impl() == "planes" and op.lam.ndim == 0:
         return matvec_planes(op, u)
     return matvec_matmul(op, u)
 
@@ -223,7 +235,7 @@ def matvec_g(op: StencilOperator, g):
     flattens, if at all, as the program's final op.
     """
     sh = op.shape + (op.pdim,)
-    if MATVEC_IMPL == "planes" and op.lam.ndim == 0:
+    if op._impl() == "planes" and op.lam.ndim == 0:
         return _planes_core(op, jnp.moveaxis(g, -1, 0))
     return _matmul_core(op, g).reshape(sh)
 

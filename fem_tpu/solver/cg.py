@@ -170,16 +170,23 @@ def pcg_host_split(matvec, b, precond_host, operands, rtol: float = 1e-9,
 
 
 _CHUNK_PROGRAMS = {}
+_CHUNK_PROGRAMS_MAX = 32
 
 
 def _chunk_programs(matvec, precond, chunk):
     """Build (or fetch) the jitted first/advance programs for pcg_chunked.
     Keyed on the function objects + chunk so the expensive trace+compile
-    happens once per operator pair, not once per solve."""
+    happens once per operator pair, not once per solve. Production callers
+    pass MODULE-LEVEL functions (stable identity -> cross-run reuse);
+    per-run closures still work but re-trace. The cache is bounded (FIFO
+    eviction) so closure-keyed entries cannot pin compiled executables and
+    their closed-over hierarchies forever (ADVICE r2)."""
     key = (matvec, precond, chunk)
     cached = _CHUNK_PROGRAMS.get(key)
     if cached is not None:
         return cached
+    while len(_CHUNK_PROGRAMS) >= _CHUNK_PROGRAMS_MAX:
+        _CHUNK_PROGRAMS.pop(next(iter(_CHUNK_PROGRAMS)))
 
     def _dot(a, c):
         return jnp.sum(a * c)
@@ -189,6 +196,11 @@ def _chunk_programs(matvec, precond, chunk):
         r = b
         z = precond(operands, r)
         return r, z, _dot(r, z)
+
+    @jax.jit
+    def resid(operands, b, x0):
+        r = b - matvec(operands, x0)
+        return r, jnp.sqrt(_dot(r, r))
 
     def one(operands, state):
         x, r, p, rz = state
@@ -209,13 +221,13 @@ def _chunk_programs(matvec, precond, chunk):
         x, r, p, rz = state
         return x, r, p, rz, jnp.sqrt(_dot(r, r))
 
-    _CHUNK_PROGRAMS[key] = (first, advance)
-    return first, advance
+    _CHUNK_PROGRAMS[key] = (first, advance, resid)
+    return first, advance, resid
 
 
 def pcg_chunked(matvec, b, precond, operands, rtol: float = 1e-9,
                 atol: float = 0.0, maxiter: int = 400,
-                chunk: int = 5) -> CGResult:
+                chunk: int = 5, x0=None) -> CGResult:
     """PCG with `chunk` iterations UNROLLED inside one jitted dispatch.
 
     The production large-solve shape on this image's TPU relay: lax
@@ -241,20 +253,33 @@ def pcg_chunked(matvec, b, precond, operands, rtol: float = 1e-9,
     (*node_shape, pdim) for the stencil/multigrid path. All reductions are
     sum-based (no ravels), so no flat elementwise op ever fuses onto a
     matvec output (TPU miscompile #5, see structured.matvec_g).
+
+    With `x0`, CG solves for the CORRECTION against x0's residual (one extra
+    jitted matvec) — the warm-start form for multi-step linear decks; the
+    convergence test still targets rtol * ||b|| (the PETSc KSP default),
+    not the smaller correction norm.
     """
-    first, advance = _chunk_programs(matvec, precond, chunk)
+    first, advance, resid = _chunk_programs(matvec, precond, chunk)
 
     bnorm = float(jnp.sqrt(jnp.sum(b * b)))
     tol = max(rtol * bnorm, atol)
+    rnorm = bnorm
+    if x0 is not None:
+        b, rn0 = resid(operands, b, x0)
+        rnorm = float(rn0)
+        if rnorm <= tol:
+            return CGResult(x=x0, iters=jnp.asarray(0),
+                            resnorm=jnp.asarray(rnorm))
     x = jnp.zeros_like(b)
     r, z, rz = first(operands, b)
     p = z
-    rnorm = bnorm
     k = 0
     while rnorm > tol and k < maxiter:
         x, r, p, rz, rn = advance(operands, x, r, p, rz)
         rnorm = float(rn)
         k += chunk
+    if x0 is not None:
+        x = x0 + x
     return CGResult(x=x, iters=jnp.asarray(k), resnorm=jnp.asarray(rnorm))
 
 

@@ -23,6 +23,65 @@ from fem_tpu.models.system import PENALTY, System
 from fem_tpu.solver import cg, direct, newton
 
 
+# ---------------------------------------------------------------------------
+# Module-level chunked-CG operator/preconditioner functions.
+#
+# These are the functions handed to cg.pcg_chunked, whose trace+compile cache
+# keys on function IDENTITY — per-run closures would retrace the minutes-long
+# chunk program every stepper.run() and pin dead hierarchies in the cache
+# (ADVICE r2). All state (operator, hierarchy, float masks) rides in the
+# `ops` operand pytree instead.
+# ---------------------------------------------------------------------------
+
+
+def _st_mv_g(ops, vg):
+    """Masked structured stencil matvec on GRID-shaped state."""
+    from fem_tpu.ops import structured
+
+    mf = ops["mf_g"]
+    keep = 1.0 - mf
+    return structured.matvec_g(ops["op"], vg * keep) * keep + vg * mf
+
+
+def _st_pc_g(ops, rg):
+    from fem_tpu.solver import multigrid
+
+    return multigrid.v_cycle_g(ops["hier"], rg)
+
+
+@jax.jit
+def _st_true_resid_g(op, bg, mf, xg):
+    from fem_tpu.ops import structured
+
+    keep = 1.0 - mf
+    ax = structured.matvec_g(op, xg * keep) * keep + xg * mf
+    return bg - ax
+
+
+def _amg_mv_cm(ops, v):
+    """Masked fused unstructured matvec in component-major (pdim, nnds)."""
+    from fem_tpu.ops import operator as op_mod
+
+    mf = ops["mf_cm"]
+    keep = 1.0 - mf
+    return op_mod.matvec_cm(ops["op"], v * keep) * keep + v * mf
+
+
+def _amg_pc_cm(ops, r):
+    from fem_tpu.solver import amg as amg_mod
+
+    return amg_mod.v_cycle_cm(ops["hier"], lambda v: _amg_mv_cm(ops, v), r)
+
+
+@jax.jit
+def _amg_true_resid_cm(fop, bg, mf, x):
+    from fem_tpu.ops import operator as op_mod
+
+    keep = 1.0 - mf
+    ax = op_mod.matvec_cm(fop, x * keep) * keep + x * mf
+    return bg - ax
+
+
 @dataclasses.dataclass
 class StepResult:
     aggregate_u: np.ndarray  # (ndof,)
@@ -32,6 +91,8 @@ class StepResult:
     krylov_iters: List[int]
     nsteps: int
     timers: object = None  # utils.timing.Timers (phase wall-clock totals)
+    # per-step GMRES indefinite-tangent fallback counts (matfree Newton)
+    gmres_fallbacks: List[int] = dataclasses.field(default_factory=list)
 
 
 def run(
@@ -56,6 +117,7 @@ def run(
     du = jnp.zeros(n, dtype=dtype)  # warm start: Vec_U never zeroed
     newton_iters: List[int] = []
     krylov_iters: List[int] = []
+    gmres_fallbacks: List[int] = []
     first_step = 1
 
     resumed_creep = None
@@ -110,6 +172,19 @@ def run(
         dev_mesh = make_mesh(config.n_devices)
         log(f"    Sharding over {config.n_devices} devices")
 
+    # Nonlinear (cohesive) decks shard the ELASTIC operator over the mesh;
+    # newton.solve_step_matfree runs its residual/Jacobian matvecs and AMG
+    # fine smoother element-sharded (VERDICT r2 missing #4 — --devices used
+    # to be ignored on this path).
+    sharded_nl = None
+    if (dev_mesh is not None and nonlinear and not explicit
+            and config.resolve_solver(n) != "direct"
+            and config.formulation != "total"):
+        from fem_tpu.parallel import ShardedOperator
+
+        log("    Nonlinear path: fused operator sharded over the mesh")
+        sharded_nl = ShardedOperator(system, dev_mesh)
+
     # Linear path setup: K is constant; factorize/prepare once
     # (the reference configures the KSP once, main.F90:199-214).
     import time as _time
@@ -151,7 +226,6 @@ def run(
                     spec["cell_sizes"], spec["node_shape"], lam_s, mu_s,
                     dtype=dtype,
                 )
-                hier = multigrid.build(st_op, system.bc_dofs)
                 bc_mask = jnp.zeros(n, dtype=bool).at[system.bc_dofs].set(True)
                 # eager float mask: in-jit bool casts miscompile on this TPU
                 # backend at large sizes (CLAUDE.md)
@@ -186,6 +260,7 @@ def run(
                 # chunked path wins by ~40x (BASELINE.md).
                 small = n < config.structured_big_threshold
                 if sharded or small:
+                    hier = multigrid.build(st_op, system.bc_dofs)
                     # flat vectors + host-driven V-cycle (per-level
                     # dispatches); the slab-sharded matvec when a mesh fits.
                     # On padded grids the shard matvec runs on the padded
@@ -210,9 +285,21 @@ def run(
                         keep = 1.0 - mf_s
                         return st_matvec(o, v * keep) * keep + v * mf_s
 
-                    def _pc(ops, r):
-                        _, h = ops
-                        return multigrid.v_cycle_host(h, r)
+                    if sharded and st_embed is None:
+                        # distributed preconditioner: the V-cycle's fine
+                        # level (its dominant cost) runs on the slab-sharded
+                        # matvec; coarser levels are tiny and replicated
+                        log("    MG fine level sharded over the slab mesh")
+
+                        def _pc(ops, r):
+                            _, h = ops
+                            return multigrid.v_cycle_host_sharded(
+                                h, r, dev_mesh
+                            )
+                    else:
+                        def _pc(ops, r):
+                            _, h = ops
+                            return multigrid.v_cycle_host(h, r)
 
                     def _cg_solve(op_unused, F, dg_unused, bc_dofs, bc_vals, x0):
                         ubc = jnp.zeros(n, dtype=dtype).at[bc_dofs].set(bc_vals)
@@ -229,38 +316,24 @@ def run(
                             iters=res.iters, resnorm=res.resnorm,
                         )
                 else:
-                    # single-device: GRID-shaped chunked MG-CG with the fused
-                    # planes stencil — the fast path that also sidesteps TPU
-                    # miscompile #5 (flat elementwise on matvec outputs
-                    # corrupts at ~1.6M dofs; see structured.matvec_g).
-                    # With an f64 config dtype the inner iterations run in
-                    # f32 under f64 iterative refinement (TPU f64 is ~10x
-                    # emulated; the bench big-solve pattern, BASELINE.md).
-                    structured.MATVEC_IMPL = "planes"
+                    # single-device production path: GRID-shaped chunked
+                    # MG-CG with the planes stencil pinned ON the operator
+                    # (with_impl — no global MATVEC_IMPL mutation, ADVICE
+                    # r2). Grid-shaped state sidesteps TPU miscompile #5
+                    # (flat elementwise on matvec outputs corrupts at
+                    # ~1.6M dofs; see structured.matvec_g). With an f64
+                    # config dtype the inner iterations run in f32 under
+                    # f64 iterative refinement (TPU f64 is ~10x emulated;
+                    # the bench big-solve pattern, BASELINE.md).
+                    st_p = st_op.with_impl("planes")
                     use_ir = jnp.dtype(dtype) == jnp.dtype(jnp.float64)
+                    inner_dtype = jnp.float32 if use_ir else dtype
+                    st_i = st_p.astype(inner_dtype)
+                    hier_i = multigrid.build(st_i, system.bc_dofs)
+                    mf_i_g = jnp.asarray(np.asarray(mf_g), dtype=inner_dtype)
+                    st_ops = {"op": st_i, "hier": hier_i, "mf_g": mf_i_g}
                     if use_ir:
                         log("    f64/f32 iterative refinement (chunked MG-CG inner)")
-                        st32 = st_op.astype(jnp.float32)
-                        hier32 = multigrid.build(st32, system.bc_dofs)
-                        mf32_g = jnp.asarray(
-                            np.asarray(mf_g), dtype=jnp.float32
-                        )
-
-                        def _mv32(ops, vg):
-                            o, _ = ops
-                            keep = 1.0 - mf32_g
-                            return structured.matvec_g(o, vg * keep) * keep + vg * mf32_g
-
-                        def _pc32(ops, rg):
-                            _, h = ops
-                            return multigrid.v_cycle_g(h, rg)
-
-                        def _true_resid(op64, bg, mf, xg):
-                            keep = 1.0 - mf
-                            ax = structured.matvec_g(op64, xg * keep) * keep + xg * mf
-                            return bg - ax
-
-                        _true_resid_j = jax.jit(_true_resid)
 
                         def _cg_solve(op_unused, F, dg_unused, bc_dofs, bc_vals, x0):
                             ubc = jnp.zeros(n, dtype=dtype).at[bc_dofs].set(bc_vals)
@@ -268,24 +341,31 @@ def run(
                             keep = 1.0 - mf_g
                             Fg = F.reshape(gsh)
                             b = (
-                                Fg - structured.matvec_g(st_op, ubc_g)
+                                Fg - structured.matvec_g(st_p, ubc_g)
                             ) * keep + ubc_g * mf_g
                             the_rtol = rtol if rtol else 1e-9
-                            x = ubc_g
+                            # warm start (the reference never zeroes Vec_U);
+                            # convergence is relative to ||b|| (KSP default)
+                            x = (
+                                x0.reshape(gsh) * keep + ubc_g * mf_g
+                                if x0 is not None else ubc_g
+                            )
+                            # config.maxiter = TOTAL inner-iteration budget
+                            # across refinement cycles (<=120 per cycle at
+                            # fixed inner rtol 1e-5)
+                            budget = maxiter if maxiter else 600
+                            r0n = max(float(jnp.sqrt(jnp.sum(b * b))), 1e-300)
                             inner_total = 0
-                            r0n = None
-                            rn = 0.0
+                            rn = r0n
                             for _ in range(12):
-                                r = _true_resid_j(st_op, b, mf_g, x)
+                                r = _st_true_resid_g(st_p, b, mf_g, x)
                                 rn = float(jnp.sqrt(jnp.sum(r * r)))
-                                if r0n is None:
-                                    r0n = max(rn, 1e-300)
-                                if rn <= the_rtol * r0n:
+                                if rn <= the_rtol * r0n or inner_total >= budget:
                                     break
                                 res = cg.pcg_chunked(
-                                    _mv32, r.astype(jnp.float32), _pc32,
-                                    (st32, hier32), rtol=1e-5,
-                                    maxiter=maxiter if maxiter else 120,
+                                    _st_mv_g, r.astype(inner_dtype), _st_pc_g,
+                                    st_ops, rtol=1e-5,
+                                    maxiter=min(120, budget - inner_total),
                                     chunk=2,
                                 )
                                 inner_total += int(res.iters)
@@ -296,28 +376,23 @@ def run(
                                 resnorm=jnp.asarray(rn),
                             )
                     else:
-                        def _mv(ops, vg):
-                            o, _ = ops
-                            keep = 1.0 - mf_g
-                            return structured.matvec_g(o, vg * keep) * keep + vg * mf_g
-
-                        def _pc(ops, rg):
-                            _, h = ops
-                            return multigrid.v_cycle_g(h, rg)
-
                         def _cg_solve(op_unused, F, dg_unused, bc_dofs, bc_vals, x0):
                             ubc = jnp.zeros(n, dtype=dtype).at[bc_dofs].set(bc_vals)
                             ubc_g = ubc.reshape(gsh)
                             keep = 1.0 - mf_g
                             Fg = F.reshape(gsh)
                             b = (
-                                Fg - structured.matvec_g(st_op, ubc_g)
+                                Fg - structured.matvec_g(st_p, ubc_g)
                             ) * keep + ubc_g * mf_g
+                            x0g = (
+                                x0.reshape(gsh) * keep + ubc_g * mf_g
+                                if x0 is not None else None
+                            )
                             res = cg.pcg_chunked(
-                                _mv, b, _pc, (st_op, hier),
+                                _st_mv_g, b, _st_pc_g, st_ops,
                                 rtol=rtol if rtol else 1e-9,
                                 maxiter=maxiter if maxiter else 400,
-                                chunk=2,
+                                chunk=2, x0=x0g,
                             )
                             x = res.x * keep + ubc_g * mf_g
                             return cg.CGResult(
@@ -335,16 +410,117 @@ def run(
 
                 log("    Fused operator sharded over the device mesh")
                 sop = ShardedOperator(system, dev_mesh)
-                op = sop.blocks
-                diag = sop.diag()
+                if config.resolve_precond(n) == "amg":
+                    # Multi-device + strong preconditioner (VERDICT r2
+                    # missing #3: --devices used to DOWNGRADE the algorithm
+                    # from AMG to Jacobi). The V-cycle's fine-level smoother
+                    # matvecs run element-sharded (psum over ICI); the
+                    # coarse ELL levels are tiny and replicated. f64 configs
+                    # keep the f64/f32 IR outer loop, so asking for devices
+                    # changes neither accuracy nor iteration counts
+                    # (tests/test_parallel.py asserts parity).
+                    from fem_tpu.ops import operator as op_fused
+                    from fem_tpu.solver import amg as amg_mod
 
-                @jax.jit
-                def _cg_solve(blocks, F, dg, bc_dofs, bc_vals, x0):
-                    return cg.solve_eliminated(
-                        lambda v: sop.matvec(v, blocks=blocks), F, dg,
-                        bc_dofs, bc_vals,
-                        x0=x0, rtol=rtol, atol=atol, maxiter=maxiter,
+                    log("    AMG preconditioner over the sharded operator")
+                    use_ir = jnp.dtype(dtype) == jnp.dtype(jnp.float64)
+                    if use_ir:
+                        log("    f64/f32 iterative refinement "
+                            "(chunked AMG-CG inner)")
+                    inner_dtype = jnp.float32 if use_ir else dtype
+                    hier_i = amg_mod.build(system, system.bc_dofs,
+                                           dtype=inner_dtype)
+                    bc_np = np.zeros(n, dtype=bool)
+                    bc_np[np.asarray(system.bc_dofs)] = True
+                    mf64 = jnp.asarray(bc_np, dtype=dtype)
+                    mf_i = jnp.asarray(bc_np, dtype=inner_dtype)
+
+                    def _cast_block(b):
+                        return op_fused.FusedBlock(
+                            edofs_t=b.edofs_t, conn_t=b.conn_t,
+                            dNx=b.dNx.astype(inner_dtype),
+                            scale=b.scale.astype(inner_dtype),
+                            lam=b.lam.astype(inner_dtype),
+                            mu=b.mu.astype(inner_dtype),
+                        )
+
+                    blocks_i = (
+                        [_cast_block(b) for b in sop.blocks]
+                        if use_ir else sop.blocks
                     )
+
+                    # per-run closures: the shard_map'd matvec (bound to the
+                    # device mesh) cannot ride in the operand pytree; the
+                    # bounded chunk-program cache absorbs the per-run traces
+                    def _smv(ops_, v):
+                        blocks, _ = ops_
+                        keep = 1.0 - mf_i
+                        return (
+                            sop.matvec(v * keep, blocks=blocks) * keep
+                            + v * mf_i
+                        )
+
+                    def _spc(ops_, r):
+                        _, h = ops_
+                        return amg_mod.v_cycle(h, lambda v: _smv(ops_, v), r)
+
+                    @jax.jit
+                    def _strue(blocks, b, x):
+                        keep = 1.0 - mf64
+                        ax = (
+                            sop.matvec(x * keep, blocks=blocks) * keep
+                            + x * mf64
+                        )
+                        return b - ax
+
+                    sops_i = (blocks_i, hier_i)
+
+                    def _cg_solve(op_unused, F, dg_unused, bc_dofs, bc_vals,
+                                  x0):
+                        ubc = jnp.zeros(n, dtype=dtype).at[bc_dofs].set(
+                            bc_vals
+                        )
+                        keep = 1.0 - mf64
+                        b = (F - sop.matvec(ubc)) * keep + ubc * mf64
+                        the_rtol = rtol if rtol else 1e-9
+                        x = (
+                            x0 * keep + ubc * mf64
+                            if x0 is not None else ubc
+                        )
+                        budget = maxiter if maxiter else 600
+                        r0n = max(float(jnp.sqrt(jnp.sum(b * b))), 1e-300)
+                        inner_total = 0
+                        rn = r0n
+                        for _ in range(12):
+                            r = _strue(sop.blocks, b, x)
+                            rn = float(jnp.sqrt(jnp.sum(r * r)))
+                            if rn <= the_rtol * r0n or inner_total >= budget:
+                                break
+                            res = cg.pcg_chunked(
+                                _smv, r.astype(inner_dtype), _spc, sops_i,
+                                rtol=1e-5 if use_ir else the_rtol,
+                                maxiter=min(120, budget - inner_total),
+                                chunk=2,
+                            )
+                            inner_total += int(res.iters)
+                            x = (x + res.x.astype(dtype)) * keep + ubc * mf64
+                        return cg.CGResult(
+                            x=x, iters=jnp.asarray(inner_total),
+                            resnorm=jnp.asarray(rn),
+                        )
+
+                    op = diag = None
+                else:
+                    op = sop.blocks
+                    diag = sop.diag()
+
+                    @jax.jit
+                    def _cg_solve(blocks, F, dg, bc_dofs, bc_vals, x0):
+                        return cg.solve_eliminated(
+                            lambda v: sop.matvec(v, blocks=blocks), F, dg,
+                            bc_dofs, bc_vals,
+                            x0=x0, rtol=rtol, atol=atol, maxiter=maxiter,
+                        )
             elif config.resolve_precond(n) == "amg":
                 # Unstructured at scale: smoothed-aggregation AMG around the
                 # fused matrix-free operator — the mesh-agnostic half of
@@ -355,48 +531,91 @@ def run(
 
                 log("    AMG preconditioner (smoothed aggregation)")
                 op = op_mod.build(system)
-                hier = amg_mod.build(system, system.bc_dofs, dtype=dtype)
+                # f64 configs run f32 chunked AMG-CG inside f64 iterative
+                # refinement — MUMPS-grade accuracy on ANY mesh at f32 speed
+                # (main.F90:354-390; VERDICT r2 missing #2). The hierarchy
+                # and inner operator are built directly in the inner dtype.
+                use_ir = jnp.dtype(dtype) == jnp.dtype(jnp.float64)
+                inner_dtype = jnp.float32 if use_ir else dtype
+                op_i = op.astype(inner_dtype) if use_ir else op
+                hier_i = amg_mod.build(system, system.bc_dofs,
+                                       dtype=inner_dtype)
                 bc_mask = jnp.zeros(n, dtype=bool).at[system.bc_dofs].set(True)
                 mf_s = jnp.asarray(bc_mask, dtype=dtype)
                 # component-major state: the fused matvec's fastest layout
-                # (operator.matvec_cm); the mask transpose is eager
+                # (operator.matvec_cm); the mask transposes are eager
                 nnds_ = n // system.pdim
                 mf_cm = jnp.asarray(
                     np.asarray(mf_s).reshape(nnds_, system.pdim).T
                 )
+                mf_cm_i = jnp.asarray(np.asarray(mf_cm), dtype=inner_dtype)
+                amg_ops = {"op": op_i, "hier": hier_i, "mf_cm": mf_cm_i}
 
-                def _mv(ops, v):
-                    o, _ = ops
-                    keep = 1.0 - mf_cm
-                    return op_mod.matvec_cm(o, v * keep) * keep + v * mf_cm
+                if use_ir:
+                    log("    f64/f32 iterative refinement (chunked AMG-CG inner)")
 
-                def _pc(ops, r):
-                    o, h = ops
-                    keep = 1.0 - mf_cm
-
-                    def fine_mv(v):
-                        return op_mod.matvec_cm(o, v * keep) * keep + v * mf_cm
-
-                    return amg_mod.v_cycle_cm(h, fine_mv, r)
-
-                def _cg_solve(op_unused, F, dg_unused, bc_dofs, bc_vals, x0):
-                    ubc = jnp.zeros(n, dtype=dtype).at[bc_dofs].set(bc_vals)
-                    ubc_cm = ubc.reshape(nnds_, system.pdim).T
-                    keep = 1.0 - mf_cm
-                    F_cm = F.reshape(nnds_, system.pdim).T
-                    b = (
-                        F_cm - op_mod.matvec_cm(op, ubc_cm)
-                    ) * keep + ubc_cm * mf_cm
-                    res = cg.pcg_chunked(
-                        _mv, b, _pc, (op, hier),
-                        rtol=rtol if rtol else 1e-9,
-                        maxiter=maxiter if maxiter else 400,
-                    )
-                    x = res.x * keep + ubc_cm * mf_cm
-                    return cg.CGResult(
-                        x=x.T.reshape(-1),
-                        iters=res.iters, resnorm=res.resnorm,
-                    )
+                    def _cg_solve(op_unused, F, dg_unused, bc_dofs, bc_vals, x0):
+                        ubc = jnp.zeros(n, dtype=dtype).at[bc_dofs].set(bc_vals)
+                        ubc_cm = ubc.reshape(nnds_, system.pdim).T
+                        keep = 1.0 - mf_cm
+                        F_cm = F.reshape(nnds_, system.pdim).T
+                        b = (
+                            F_cm - op_mod.matvec_cm(op, ubc_cm)
+                        ) * keep + ubc_cm * mf_cm
+                        the_rtol = rtol if rtol else 1e-9
+                        x = (
+                            x0.reshape(nnds_, system.pdim).T * keep
+                            + ubc_cm * mf_cm
+                            if x0 is not None else ubc_cm
+                        )
+                        # config.maxiter = TOTAL inner budget across cycles
+                        budget = maxiter if maxiter else 600
+                        r0n = max(float(jnp.sqrt(jnp.sum(b * b))), 1e-300)
+                        inner_total = 0
+                        rn = r0n
+                        for _ in range(12):
+                            r = _amg_true_resid_cm(op, b, mf_cm, x)
+                            rn = float(jnp.sqrt(jnp.sum(r * r)))
+                            if rn <= the_rtol * r0n or inner_total >= budget:
+                                break
+                            res = cg.pcg_chunked(
+                                _amg_mv_cm, r.astype(inner_dtype),
+                                _amg_pc_cm, amg_ops, rtol=1e-5,
+                                maxiter=min(120, budget - inner_total),
+                                chunk=2,
+                            )
+                            inner_total += int(res.iters)
+                            x = (x + res.x.astype(dtype)) * keep + ubc_cm * mf_cm
+                        return cg.CGResult(
+                            x=x.T.reshape(-1),
+                            iters=jnp.asarray(inner_total),
+                            resnorm=jnp.asarray(rn),
+                        )
+                else:
+                    def _cg_solve(op_unused, F, dg_unused, bc_dofs, bc_vals, x0):
+                        ubc = jnp.zeros(n, dtype=dtype).at[bc_dofs].set(bc_vals)
+                        ubc_cm = ubc.reshape(nnds_, system.pdim).T
+                        keep = 1.0 - mf_cm
+                        F_cm = F.reshape(nnds_, system.pdim).T
+                        b = (
+                            F_cm - op_mod.matvec_cm(op, ubc_cm)
+                        ) * keep + ubc_cm * mf_cm
+                        x0cm = (
+                            x0.reshape(nnds_, system.pdim).T * keep
+                            + ubc_cm * mf_cm
+                            if x0 is not None else None
+                        )
+                        res = cg.pcg_chunked(
+                            _amg_mv_cm, b, _amg_pc_cm, amg_ops,
+                            rtol=rtol if rtol else 1e-9,
+                            maxiter=maxiter if maxiter else 400,
+                            x0=x0cm,
+                        )
+                        x = res.x * keep + ubc_cm * mf_cm
+                        return cg.CGResult(
+                            x=x.T.reshape(-1),
+                            iters=res.iters, resnorm=res.resnorm,
+                        )
 
                 diag = None
             else:
@@ -441,10 +660,12 @@ def run(
                     )
                 else:
                     res = newton.solve_step_matfree(
-                        system, config, aggregate_u, du, F
+                        system, config, aggregate_u, du, F,
+                        sharded_op=sharded_nl,
                     )
             du = res.du
             newton_iters.append(res.iters)
+            gmres_fallbacks.append(int(getattr(res, "gmres_fallbacks", 0)))
             log(f"    SNES Iteration Count: {res.iters}")
         elif solver_kind == "direct":
             with tm.phase("solve"):
@@ -493,4 +714,5 @@ def run(
         krylov_iters=krylov_iters,
         nsteps=nsteps,
         timers=tm,
+        gmres_fallbacks=gmres_fallbacks,
     )
