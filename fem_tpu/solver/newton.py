@@ -547,6 +547,68 @@ def _sharded_mv_pc(sharded_op):
     return smv, spc
 
 
+@functools.partial(
+    jax.jit, static_argnames=("quirks", "reference_form")
+)
+def _mf_residual_jit(fop, ecoords, props, edofs, dt, F_ext, aggregate_u,
+                     keep, mf, ubc, du, *, quirks: bool,
+                     reference_form: bool):
+    """Matrix-free Newton residual as ONE jitted program (the eager form
+    cost dozens of ~1.4 ms relay dispatches per evaluation — line searches
+    made that minutes per load step at 100k dofs)."""
+    from fem_tpu.ops import operator as op_mod
+
+    u_total = aggregate_u + du
+    F = F_ext + _coh_force_arrays(ecoords, props, edofs, dt, u_total, quirks)
+    R = op_mod.matvec(fop, du)
+    if reference_form:
+        from fem_tpu.ops import cohesive as coh_ops
+
+        ke = coh_ops.element_stiffness(ecoords, props, u_total[edofs], dt,
+                                       quirks)
+        fe = jnp.einsum("eab,eb->ea", ke, du[edofs])
+        R = R.at[edofs.reshape(-1)].add(fe.reshape(-1))
+    R = R - F
+    return R * keep + (du - ubc) * mf
+
+
+@functools.partial(
+    jax.jit, static_argnames=("quirks", "reference_form")
+)
+def _mf_trial_norm_jit(fop, ecoords, props, edofs, dt, F_ext, aggregate_u,
+                       keep, mf, ubc, du, delta, lam, *, quirks: bool,
+                       reference_form: bool):
+    """One line-search trial: pin(du + lam*delta), residual, norm — a single
+    dispatch returning one scalar (backtracking usually accepts within 1-2
+    trials, so a host loop over single-trial dispatches beats a batched
+    all-lambdas program)."""
+    trial = (du + lam * delta) * keep + ubc * mf
+    R = _mf_residual_jit.__wrapped__(
+        fop, ecoords, props, edofs, dt, F_ext, aggregate_u,
+        keep, mf, ubc, trial, quirks=quirks, reference_form=reference_form,
+    )
+    return jnp.sqrt(jnp.sum(R * R))
+
+
+@functools.partial(jax.jit, static_argnames=("quirks",))
+def _mf_true_resnorm_jit(fop, ecoords, props, edofs, dt, aggregate_u,
+                         keep, mf, du, rhs, delta, *, quirks: bool):
+    """||rhs - J' delta|| with the masked full Jacobian, one dispatch
+    (the inner-direction sanity check that gates the GMRES fallback)."""
+    from fem_tpu.ops import cohesive as coh_ops
+    from fem_tpu.ops import operator as op_mod
+
+    vk = delta * keep
+    out = op_mod.matvec(fop, vk)
+    ke = coh_ops.element_stiffness(
+        ecoords, props, (aggregate_u + du)[edofs], dt, quirks
+    )
+    fe = jnp.einsum("eab,eb->ea", ke, vk[edofs])
+    out = out.at[edofs.reshape(-1)].add(fe.reshape(-1))
+    r = rhs - (out * keep + delta * mf)
+    return jnp.sqrt(jnp.sum(r * r))
+
+
 def _matfree_amg_cache(system: System):
     """f32 fused operator + elastic SA-AMG hierarchy + eager float masks for
     the matrix-free Newton inner solves. Built ONCE per System and cached:
@@ -654,9 +716,25 @@ def solve_step_matfree(
     mf = bc_mask.astype(F_ext.dtype)
     keep = 1.0 - mf
 
+    # Single-dispatch jitted residual/line-search on the replicated path:
+    # the eager form costs dozens of ~1.4 ms relay dispatches per
+    # evaluation, which dominated the 100k-dof cohesive wall clock. The
+    # sharded path keeps the eager composition (its matvec closures carry
+    # the mesh).
+    e_coh = system.blocks["coh"]
+    dtc = jnp.asarray(system.dt, dtype=F_ext.dtype)
+    use_jit_res = sharded_op is None
+    fop = system.fused_operator() if use_jit_res else None
+
     def residual(du):
         # float-mask arithmetic: bool selects on matvec outputs miscompile
         # on TPU at large sizes (see cg.masked_operator)
+        if use_jit_res:
+            return _mf_residual_jit(
+                fop, e_coh["ecoords"], e_coh["props"], e_coh["edofs"], dtc,
+                F_ext, aggregate_u, keep, mf, ubc, du,
+                quirks=quirks, reference_form=reference_form,
+            )
         F = F_ext + system.coh_force(aggregate_u + du, quirks)
         if reference_form:
             R = jac_matvec(du, du) - F
@@ -675,12 +753,15 @@ def solve_step_matfree(
 
     from fem_tpu.solver import gmres as gmres_mod
 
+    def jacobi_diag(du):
+        """Lazy: only the Jacobi-PCG path and the GMRES fallback need it."""
+        diag = el_diag + _coh_diag(system, aggregate_u + du, quirks)
+        diag = jnp.where(bc_mask, 1.0, diag)
+        return jnp.where(jnp.abs(diag) < 1e-30, 1.0, diag)
+
     def inner_solve(du, R, inner_rtol):
         """CG first; GMRES(30) fallback on stall (indefinite tangent)."""
         mv = cg_mod.masked_operator(lambda v: jac_matvec(du, v), bc_mask)
-        diag = el_diag + _coh_diag(system, aggregate_u + du, quirks)
-        diag = jnp.where(bc_mask, 1.0, diag)
-        diag = jnp.where(jnp.abs(diag) < 1e-30, 1.0, diag)
         rhs = jnp.where(bc_mask, 0.0, -R)
         indefinite = False
         if amg_ops is not None:
@@ -703,12 +784,12 @@ def solve_step_matfree(
                 mv_fn, pc_fn = _mf_jac_mv, _mf_amg_pc
             res = cg_mod.pcg_chunked(
                 mv_fn, rhs.astype(jnp.float32), pc_fn, ops,
-                rtol=max(inner_rtol, 2e-7), maxiter=200, chunk=4,
+                rtol=max(inner_rtol, 2e-7), maxiter=200, chunk=2,
             )
             delta = res.x.astype(rhs.dtype)
         else:
             res = cg_mod.pcg(
-                mv, rhs, diag=jnp.abs(diag),
+                mv, rhs, diag=jnp.abs(jacobi_diag(du)),
                 rtol=inner_rtol, maxiter=max(200, int(jnp.sqrt(n)) * 4),
             )
             indefinite = bool(res.indefinite)
@@ -718,8 +799,14 @@ def solve_step_matfree(
         # Trust nothing CG claims on an indefinite system: check negative
         # curvature AND the TRUE residual of the direction (one matvec) —
         # the recurrence residual can look converged while x is garbage.
-        true_rel = float(jnp.linalg.norm(rhs - mv(delta))) / max(rhs_norm, 1e-300)
-        rel = true_rel
+        if use_jit_res:
+            true_res = float(_mf_true_resnorm_jit(
+                fop, e_coh["ecoords"], e_coh["props"], e_coh["edofs"], dtc,
+                aggregate_u, keep, mf, du, rhs, delta, quirks=quirks,
+            ))
+        else:
+            true_res = float(jnp.linalg.norm(rhs - mv(delta)))
+        rel = true_res / max(rhs_norm, 1e-300)
         used_gmres = False
         allow_gmres = getattr(config, "inner_krylov", "auto") != "cg"
         if allow_gmres and (
@@ -727,7 +814,7 @@ def solve_step_matfree(
             or rel > 10.0 * inner_rtol
             or indefinite
         ):
-            minv = 1.0 / jnp.abs(diag)
+            minv = 1.0 / jnp.abs(jacobi_diag(du))
             gres = gmres_mod.gmres(
                 mv, rhs, precond=lambda v: minv * v,
                 rtol=inner_rtol, restart=30,
@@ -743,9 +830,18 @@ def solve_step_matfree(
         lam = 1.0
         best_lam, best_r = None, rnorm
         for _ in range(20):
-            R_trial = residual(pin(du + lam * delta))
-            r_trial = float(jnp.linalg.norm(R_trial))
-            if jnp.isfinite(jnp.asarray(r_trial)) and r_trial < best_r:
+            if use_jit_res:
+                r_trial = float(_mf_trial_norm_jit(
+                    fop, e_coh["ecoords"], e_coh["props"], e_coh["edofs"],
+                    dtc, F_ext, aggregate_u, keep, mf, ubc, du, delta,
+                    jnp.asarray(lam, dtype=F_ext.dtype),
+                    quirks=quirks, reference_form=reference_form,
+                ))
+            else:
+                r_trial = float(jnp.linalg.norm(
+                    residual(pin(du + lam * delta))
+                ))
+            if np.isfinite(r_trial) and r_trial < best_r:
                 best_lam, best_r = lam, r_trial
                 if r_trial <= (1.0 - 1e-4 * lam) * rnorm:
                     break
@@ -772,10 +868,7 @@ def solve_step_matfree(
             # CG direction useless (indefinite tangent past the traction
             # peak): retry with a tight GMRES direction before stagnating.
             mv = cg_mod.masked_operator(lambda v: jac_matvec(du, v), bc_mask)
-            diag = el_diag + _coh_diag(system, aggregate_u + du, quirks)
-            diag = jnp.where(bc_mask, 1.0, diag)
-            diag = jnp.where(jnp.abs(diag) < 1e-30, 1.0, diag)
-            minv = 1.0 / jnp.abs(diag)
+            minv = 1.0 / jnp.abs(jacobi_diag(du))
             gres = gmres_mod.gmres(
                 mv, jnp.where(bc_mask, 0.0, -R),
                 precond=lambda v: minv * v, rtol=1e-8, restart=30,
