@@ -409,9 +409,8 @@ def bench_cohesive_solve(nx=None, ny_half=None):
     cfg = Config(solver="cg")
 
     def once():
-        iters = []
         t0 = time.perf_counter()
-        res = stepper.run(p, cfg, log=lambda m: iters.append(m))
+        res = stepper.run(p, cfg, log=lambda m: log(f"  coh: {m}"))
         dt = time.perf_counter() - t0
         return res, dt
 

@@ -383,3 +383,62 @@ def hex8_stiffness_pallas(ecoords_l, lam, mu, block_e: int = 256,
         jnp.asarray(_A_TR, dtype),
     )
     return out.reshape(24, 24, ne_pad)[:, :, :ne]
+
+
+# ---------------------------------------------------------------------------
+# ELL SpMV with the source vector VMEM-RESIDENT (VERDICT r2 weak #4 follow-up:
+# the one op where a hand kernel could plausibly beat XLA is the gather-bound
+# unstructured/coarse-level ELL matvec). XLA lowers x[cols] to HBM gathers at
+# ~3 ns/element; here the whole x vector is pinned in VMEM for the entire
+# kernel (527k f32 dofs = 2.1 MB << VMEM) while the (vals, cols) tiles stream
+# from HBM at full bandwidth, so the per-element fetch becomes an on-chip
+# dynamic gather. Whether Mosaic can lower the per-lane `jnp.take` is exactly
+# the experiment — results recorded in the module post-mortem above.
+# ---------------------------------------------------------------------------
+
+
+def _ell_kernel_factory(w):
+    def kernel(x_ref, vals_ref, cols_ref, out_ref):
+        x = x_ref[0, :]  # (n,) VMEM-resident source vector
+        acc = None
+        for k in range(w):  # static unroll over the ELL width
+            idx = cols_ref[:, k]
+            g = jnp.take(x, idx, axis=0)  # per-lane dynamic gather
+            term = vals_ref[:, k] * g
+            acc = term if acc is None else acc + term
+        out_ref[:] = acc
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnames=("block_r", "interpret"))
+def ell_matvec_pallas(vals, cols, x, block_r: int = 2048,
+                      interpret: bool = False):
+    """out[i] = sum_k vals[i, k] * x[cols[i, k]].
+
+    Grid over row tiles; x is mapped whole into VMEM every step (the index
+    map is constant, so it stays resident), vals/cols tiles double-buffer
+    from HBM. Rows are padded to block_r (cols pad -> 0, vals pad -> 0, so
+    padded rows compute 0).
+    """
+    n, w = vals.shape
+    nx = x.shape[0]
+    pad = (-n) % block_r
+    if pad:
+        vals = jnp.pad(vals, ((0, pad), (0, 0)))
+        cols = jnp.pad(cols, ((0, pad), (0, 0)))
+    npad = n + pad
+    grid = (npad // block_r,)
+    out = pl.pallas_call(
+        _ell_kernel_factory(w),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, nx), lambda i: (0, 0)),
+            pl.BlockSpec((block_r, w), lambda i: (i, 0)),
+            pl.BlockSpec((block_r, w), lambda i: (i, 0)),
+        ],
+        out_specs=pl.BlockSpec((block_r,), lambda i: (i,)),
+        out_shape=jax.ShapeDtypeStruct((npad,), vals.dtype),
+        interpret=interpret,
+    )(x.reshape(1, nx), vals, cols)
+    return out[:n]

@@ -644,6 +644,7 @@ def solve_step_matfree(
     du0,
     F_ext,
     sharded_op=None,
+    log=None,
 ):
     """Matrix-free Newton-Krylov for large cohesive problems.
 
@@ -849,6 +850,8 @@ def solve_step_matfree(
         return best_lam
 
     ew = getattr(config, "forcing", "ew") == "ew"
+    log = log or (lambda m: None)
+    log(f"newton: r0={r0:.3e} tol={tol:.3e}")
     prev_rnorm = None
     iters = 0
     fallbacks = 0
@@ -859,6 +862,8 @@ def solve_step_matfree(
         else:
             inner_rtol = 1e-4 if ew else 1e-6
         delta, used_gmres = inner_solve(du, R, inner_rtol)
+        log(f"newton it {iters}: inner done (rtol {inner_rtol:.1e}, "
+            f"gmres={used_gmres})")
         best_lam = line_search(du, delta, rnorm)
         if (
             best_lam is None
@@ -888,6 +893,7 @@ def solve_step_matfree(
         R = residual(du)
         prev_rnorm = rnorm
         rnorm = float(jnp.linalg.norm(R))
+        log(f"newton it {iters}: rnorm={rnorm:.3e} lam={best_lam}")
         if rnorm <= tol:
             converged = True
             break

@@ -662,6 +662,7 @@ def run(
                     res = newton.solve_step_matfree(
                         system, config, aggregate_u, du, F,
                         sharded_op=sharded_nl,
+                        log=lambda m: log("    " + m),
                     )
             du = res.du
             newton_iters.append(res.iters)

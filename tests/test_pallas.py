@@ -78,3 +78,23 @@ def test_stencil_matvec_pallas_matches_xla():
         f1 = stencil_matvec_pallas(k, u, shape, block_x=bx, interpret=True)
         rel = float(jnp.linalg.norm(f1 - f0) / jnp.linalg.norm(f0))
         assert rel < 1e-6, (shape, bx, rel)
+
+
+def test_ell_matvec_pallas_interpret():
+    """VMEM-resident-x ELL SpMV (the gather-bound op XLA is weakest at):
+    interpret-mode exactness vs the XLA reference on random ELL data."""
+    import numpy as np
+
+    from fem_tpu.ops.pallas_kernels import ell_matvec_pallas
+
+    rng = np.random.default_rng(3)
+    n, w, nx = 3000, 13, 2048
+    vals = rng.standard_normal((n, w)).astype(np.float32)
+    cols = rng.integers(0, nx, size=(n, w)).astype(np.int32)
+    x = rng.standard_normal(nx).astype(np.float32)
+    ref = np.sum(vals * x[cols], axis=1)
+    out = np.asarray(
+        ell_matvec_pallas(jnp.asarray(vals), jnp.asarray(cols),
+                          jnp.asarray(x), block_r=1024, interpret=True)
+    )
+    np.testing.assert_allclose(out, ref, atol=2e-5)
