@@ -154,9 +154,11 @@ class System:
         return op_mod.matvec(self.fused_operator(), u)
 
     def diag_fused(self):
-        from fem_tpu.ops import operator as op_mod
+        if getattr(self, "_diag_fused", None) is None:
+            from fem_tpu.ops import operator as op_mod
 
-        return op_mod.diag(self.fused_operator())
+            self._diag_fused = op_mod.diag(self.fused_operator())
+        return self._diag_fused
 
     def dense_K(self):
         """Assembled elastic stiffness, no BCs (main.F90:157-168 equivalent).
