@@ -591,10 +591,11 @@ def _mf_trial_norm_jit(fop, ecoords, props, edofs, dt, F_ext, aggregate_u,
 
 
 @functools.partial(jax.jit, static_argnames=("quirks",))
-def _mf_true_resnorm_jit(fop, ecoords, props, edofs, dt, aggregate_u,
-                         keep, mf, du, rhs, delta, *, quirks: bool):
-    """||rhs - J' delta|| with the masked full Jacobian, one dispatch
-    (the inner-direction sanity check that gates the GMRES fallback)."""
+def _mf_true_resid_jit(fop, ecoords, props, edofs, dt, aggregate_u,
+                       keep, mf, du, rhs, delta, *, quirks: bool):
+    """rhs - J' delta (and its norm) with the masked full Jacobian, one
+    dispatch — the inner-direction accuracy check, and the residual the
+    f32 refinement passes re-solve."""
     from fem_tpu.ops import cohesive as coh_ops
     from fem_tpu.ops import operator as op_mod
 
@@ -606,7 +607,7 @@ def _mf_true_resnorm_jit(fop, ecoords, props, edofs, dt, aggregate_u,
     fe = jnp.einsum("eab,eb->ea", ke, vk[edofs])
     out = out.at[edofs.reshape(-1)].add(fe.reshape(-1))
     r = rhs - (out * keep + delta * mf)
-    return jnp.sqrt(jnp.sum(r * r))
+    return r, jnp.sqrt(jnp.sum(r * r))
 
 
 def _matfree_amg_cache(system: System):
@@ -618,21 +619,63 @@ def _matfree_amg_cache(system: System):
     iteration, main.F90:365-371)."""
     cache = getattr(system, "_mf_amg32", None)
     if cache is None:
+        from fem_tpu.ops import operator as op_mod
         from fem_tpu.solver import amg as amg_mod
 
-        bc_np = np.zeros(system.ndof, dtype=bool)
-        bc_np[np.asarray(system.bc_dofs)] = True
-        mf32 = jnp.asarray(bc_np, dtype=jnp.float32)
-        e = system.blocks["coh"]
-        cache = dict(
-            fop=system.fused_operator().astype(jnp.float32),
-            hier=amg_mod.build(system, system.bc_dofs, dtype=jnp.float32),
-            keep=1.0 - mf32,
-            mf=mf32,
-            edofs=e["edofs"],
-            ecoords32=e["ecoords"].astype(jnp.float32),
-            props32=e["props"].astype(jnp.float32),
-        )
+        # ALL setup compute runs on the HOST (CPU backend) and the results
+        # are device_put once: building the fused operator eagerly on the
+        # TPU costs minutes of cold per-op compiles through the relay
+        # (measured 298 s at 105k dofs vs ~5 s on CPU). system.blocks hold
+        # committed device arrays, so a host VIEW with CPU copies is built
+        # first — jax.default_device alone cannot move committed operands.
+        cpu = jax.devices("cpu")[0]
+        target = None
+        try:
+            target = list(system.coords.devices())[0]
+        except Exception:
+            pass
+
+        class _HostView:
+            pass
+
+        hv = _HostView()
+        hv.dtype = system.dtype
+        hv.ndof = system.ndof
+        hv.nnds = system.nnds
+        hv.pdim = system.pdim
+        hv.problem = system.problem
+        hv.blocks = {}
+        for name, e in system.blocks.items():
+            he = dict(e)
+            for k in ("ecoords", "E", "nu", "props", "edofs", "conn"):
+                if k in he and hasattr(he[k], "devices"):
+                    he[k] = jax.device_put(np.asarray(he[k]), cpu)
+            hv.blocks[name] = he
+
+        with jax.default_device(cpu):
+            fop64 = op_mod.build(hv)
+            hier32 = amg_mod.build(hv, np.asarray(system.bc_dofs),
+                                   dtype=jnp.float32)
+            bc_np = np.zeros(system.ndof, dtype=bool)
+            bc_np[np.asarray(system.bc_dofs)] = True
+            mf32 = jnp.asarray(bc_np, dtype=jnp.float32)
+            e = hv.blocks["coh"]
+            cache = dict(
+                fop=fop64.astype(jnp.float32),
+                hier=hier32,
+                keep=1.0 - mf32,
+                mf=mf32,
+                edofs=e["edofs"],
+                ecoords32=e["ecoords"].astype(jnp.float32),
+                props32=e["props"].astype(jnp.float32),
+            )
+        if target is not None and target.platform != "cpu":
+            cache = jax.device_put(cache, target)
+            fop64 = jax.device_put(fop64, target)
+        # the f64 residual/true-residual programs use the same operator —
+        # seed the System cache so it is never rebuilt eagerly on device
+        if getattr(system, "_fused_op", None) is None:
+            system._fused_op = fop64
         system._mf_amg32 = cache
     return cache
 
@@ -679,7 +722,6 @@ def solve_step_matfree(
 
     from fem_tpu.solver import cg as cg_mod
 
-    el_diag = system.diag_fused()
 
     # Inner preconditioner: Jacobi at deck scale; the ELASTIC smoothed-
     # aggregation AMG at scale (config.resolve_precond). The cohesive
@@ -756,7 +798,8 @@ def solve_step_matfree(
 
     def jacobi_diag(du):
         """Lazy: only the Jacobi-PCG path and the GMRES fallback need it."""
-        diag = el_diag + _coh_diag(system, aggregate_u + du, quirks)
+        diag = system.diag_fused() + _coh_diag(system, aggregate_u + du,
+                                                quirks)
         diag = jnp.where(bc_mask, 1.0, diag)
         return jnp.where(jnp.abs(diag) < 1e-30, 1.0, diag)
 
@@ -765,6 +808,7 @@ def solve_step_matfree(
         mv = cg_mod.masked_operator(lambda v: jac_matvec(du, v), bc_mask)
         rhs = jnp.where(bc_mask, 0.0, -R)
         indefinite = False
+        gate_rtol = inner_rtol
         if amg_ops is not None:
             # f32 chunked AMG-CG (one jitted dispatch per `chunk` complete
             # iterations) — the TPU-safe production shape, mirroring the
@@ -783,9 +827,18 @@ def solve_step_matfree(
                 mv_fn, pc_fn = _sharded_mv_pc(sharded_op)
             else:
                 mv_fn, pc_fn = _mf_jac_mv, _mf_amg_pc
+            # Clamp the Eisenstat–Walker tolerance to what the f32 inner
+            # solve can actually deliver (recurrence drift floors the true
+            # relative residual around ~1e-5 at 1e5 dofs; chasing 1e-6
+            # spins CG to maxiter and then trips the GMRES fallback for
+            # nothing — measured 4 spurious ~50 s fallbacks per bench run).
+            # Inexact Newton with eta ~ 3e-5 still converges superlinearly;
+            # the f64 outer residual keeps the final accuracy.
+            inner_eff = max(inner_rtol, 3e-5)
+            gate_rtol = inner_eff
             res = cg_mod.pcg_chunked(
                 mv_fn, rhs.astype(jnp.float32), pc_fn, ops,
-                rtol=max(inner_rtol, 2e-7), maxiter=200, chunk=2,
+                rtol=inner_eff, maxiter=200, chunk=2,
             )
             delta = res.x.astype(rhs.dtype)
         else:
@@ -800,19 +853,43 @@ def solve_step_matfree(
         # Trust nothing CG claims on an indefinite system: check negative
         # curvature AND the TRUE residual of the direction (one matvec) —
         # the recurrence residual can look converged while x is garbage.
-        if use_jit_res:
-            true_res = float(_mf_true_resnorm_jit(
-                fop, e_coh["ecoords"], e_coh["props"], e_coh["edofs"], dtc,
-                aggregate_u, keep, mf, du, rhs, delta, quirks=quirks,
-            ))
-        else:
-            true_res = float(jnp.linalg.norm(rhs - mv(delta)))
+
+        def true_resid(delta):
+            if use_jit_res:
+                r2, tr = _mf_true_resid_jit(
+                    fop, e_coh["ecoords"], e_coh["props"], e_coh["edofs"],
+                    dtc, aggregate_u, keep, mf, du, rhs, delta,
+                    quirks=quirks,
+                )
+                return r2, float(tr)
+            r2 = rhs - mv(delta)
+            return r2, float(jnp.linalg.norm(r2))
+
+        r2, true_res = true_resid(delta)
         rel = true_res / max(rhs_norm, 1e-300)
+        # f64/f32 ITERATIVE REFINEMENT on the inner direction: when the f32
+        # solve's true accuracy misses a tight forcing tolerance (its
+        # relative floor worsens near the softening instability), re-solving
+        # the f64 true residual in f32 costs ~one more short chunked solve —
+        # vs ~50 s for the f64 GMRES fallback this used to trigger. GMRES
+        # remains the genuine-indefiniteness rescue below.
+        if amg_ops is not None:
+            for _ in range(2):
+                if not np.isfinite(rel) or rel <= 10.0 * gate_rtol:
+                    break
+                corr = cg_mod.pcg_chunked(
+                    mv_fn, r2.astype(jnp.float32), pc_fn, ops,
+                    rtol=inner_eff, maxiter=100, chunk=2,
+                )
+                delta = jnp.where(bc_mask, 0.0,
+                                  delta + corr.x.astype(rhs.dtype))
+                r2, true_res = true_resid(delta)
+                rel = true_res / max(rhs_norm, 1e-300)
         used_gmres = False
         allow_gmres = getattr(config, "inner_krylov", "auto") != "cg"
         if allow_gmres and (
             not np.isfinite(rel)
-            or rel > 10.0 * inner_rtol
+            or rel > 10.0 * gate_rtol
             or indefinite
         ):
             minv = 1.0 / jnp.abs(jacobi_diag(du))
