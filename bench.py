@@ -309,7 +309,10 @@ def bench_amg_solve(n=None):
         log(f"amg solve: jittered mesh {p.nels} hex8, ndof={s.ndof}")
         fop64 = op_mod.build(s)
         fop32 = fop64.astype(jnp.float32)
-        h32 = amg.build(s, s.bc_dofs).astype(jnp.float32)
+        # coarse_max=20000: stop at the first aggressive-coarsening level and
+        # solve it with a dense inverse (amg._dense_inv) — the ELL coarse
+        # cycle was 79.5 ms of the 188 ms V-cycle at 527k dofs.
+        h32 = amg.build(s, s.bc_dofs, coarse_max=20000).astype(jnp.float32)
         bc_mask = jnp.zeros(s.ndof, bool).at[s.bc_dofs].set(True)
         mf32 = jnp.asarray(bc_mask, jnp.float32)
         mf64 = jnp.asarray(bc_mask, jnp.float64)
@@ -628,9 +631,13 @@ def main():
     if os.environ.get("FEM_TPU_BENCH_AMG", "1") == "1":
         # 527k-dof jittered-mesh SA-AMG + f64/f32 IR (the mesh-agnostic
         # MUMPS replacement) — no longer gated off by default (VERDICT r2
-        # weak #5)
+        # weak #5). The host-side setup (aggregation/QR/Galerkin on this
+        # 1-core host) scales ~n^3, so the kill budget scales with the
+        # requested mesh (n=70 is the >=1M-dof run).
+        amg_n = int(os.environ.get("FEM_TPU_BENCH_AMG_N", "55"))
+        amg_cap = max(1200, int(1200 * (amg_n / 55.0) ** 3))
         run_isolated("import bench; bench.bench_amg_solve()",
-                     "amg solve", 1200)
+                     "amg solve", amg_cap)
     else:
         log("amg solve: skipped (FEM_TPU_BENCH_AMG=0)")
     if os.environ.get("FEM_TPU_BENCH_BIG", "1") == "1":

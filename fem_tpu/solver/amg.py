@@ -339,6 +339,48 @@ def _lambda_max(A, dinv, iters=30, seed=0):
     return float(lam)
 
 
+@jax.jit
+def _chol_inv_jit(A):
+    """A^-1 for SPD A via Cholesky: L^-T L^-1 (device-side, one fused jit)."""
+    L = jnp.linalg.cholesky(A)
+    eye = jnp.eye(A.shape[0], dtype=A.dtype)
+    Linv = jax.scipy.linalg.solve_triangular(L, eye, lower=True)
+    return jnp.matmul(Linv.T, Linv, precision=jax.lax.Precision.HIGHEST)
+
+
+def _dense_inv(Kc):
+    """Dense inverse of the coarsest SPD operator.
+
+    The TPU profile made the coarse levels the V-cycle's dominant term: a
+    9504-dof level-1 ELL matvec costs 11.7 ms of random gathers (x7 per
+    cycle = 79.5 ms, 42% of the cycle; BENCH_extra amg_profile_*), while a
+    dense (n, n) matvec is one streaming HBM pass (~0.5 ms at 361 MB).  So
+    production hierarchies stop coarsening at ~20k dofs and apply an
+    explicit dense inverse instead of recursing — a two-level method with
+    an exact coarse solve, which also upper-bounds the iteration count of
+    the deeper hierarchy.  The inverse itself: f32 Cholesky on the
+    accelerator for large blocks (8.9e12 flops at 19k — seconds on the MXU,
+    minutes on this 1-core host), host LAPACK otherwise (f32 above 4096:
+    backward-stable, and the production hierarchy is cast to f32 anyway).
+    """
+    n = Kc.shape[0]
+    if n >= 8000:
+        try:
+            dev = jax.devices()[0]
+            if dev.platform != "cpu":
+                A = jax.device_put(jnp.asarray(Kc.astype(np.float32)), dev)
+                X = _chol_inv_jit(A)
+                Xn = np.asarray(X, dtype=np.float64)
+                del A, X
+                if np.isfinite(Xn).all():
+                    return 0.5 * (Xn + Xn.T)
+        except Exception:
+            pass
+    dt = np.float32 if n >= 4096 else np.float64
+    inv = np.linalg.inv(Kc.astype(dt)).astype(np.float64)
+    return 0.5 * (inv + inv.T)
+
+
 def _to_ell(A, dtype):
     """CSR -> padded ELL (vals (n, w), cols (n, w) int32)."""
     n = A.shape[0]
@@ -540,7 +582,8 @@ def build(
     zero_rows = np.abs(Kc).sum(axis=1) == 0.0
     if np.any(zero_rows):
         Kc[zero_rows, zero_rows] = 1.0
-    coarse_inv = np.linalg.inv(Kc)
+    coarse_inv = _dense_inv(Kc)
+    del Kc
     empty_f = np.zeros((0, 0), dtype=np_dtype)
     empty_i = np.zeros((0, 0), dtype=np.int32)
     ell_vals, ell_cols = (

@@ -655,7 +655,7 @@ def _matfree_amg_cache(system: System):
         with jax.default_device(cpu):
             fop64 = op_mod.build(hv)
             hier32 = amg_mod.build(hv, np.asarray(system.bc_dofs),
-                                   dtype=jnp.float32)
+                                   dtype=jnp.float32, coarse_max=20000)
             bc_np = np.zeros(system.ndof, dtype=bool)
             bc_np[np.asarray(system.bc_dofs)] = True
             mf32 = jnp.asarray(bc_np, dtype=jnp.float32)
@@ -813,16 +813,35 @@ def solve_step_matfree(
             # f32 chunked AMG-CG (one jitted dispatch per `chunk` complete
             # iterations) — the TPU-safe production shape, mirroring the
             # stepper's linear AMG branch.
+            ops_src = amg_ops
+            if sharded_op is not None:
+                # The cache arrays were built host-side and are committed
+                # to cpu:0 (_matfree_amg_cache); the element blocks are
+                # sharded over the device mesh. One jit cannot mix a
+                # committed single-device operand with a mesh-sharded one —
+                # replicate the cache over the same mesh (once, cached on
+                # the operator).
+                ops_src = getattr(sharded_op, "_mf_cache_rep", None)
+                if ops_src is None:
+                    from jax.sharding import NamedSharding
+                    from jax.sharding import PartitionSpec as _P
+
+                    rep = NamedSharding(sharded_op.mesh, _P())
+                    ops_src = {
+                        k: jax.device_put(v, rep)
+                        for k, v in amg_ops.items() if k != "fop"
+                    }
+                    sharded_op._mf_cache_rep = ops_src
             ke32 = _coh_ke(
-                amg_ops["ecoords32"], amg_ops["props32"], amg_ops["edofs"],
+                ops_src["ecoords32"], ops_src["props32"], ops_src["edofs"],
                 dt_arr, (aggregate_u + du).astype(jnp.float32),
                 quirks=quirks,
             )
-            ops = dict(amg_ops, ke=ke32)
+            ops = dict(ops_src, ke=ke32)
             ops.pop("ecoords32")
             ops.pop("props32")
             if sharded_op is not None:
-                ops.pop("fop")
+                ops.pop("fop", None)
                 ops["blocks"] = _sharded_blocks32(sharded_op)
                 mv_fn, pc_fn = _sharded_mv_pc(sharded_op)
             else:

@@ -429,7 +429,8 @@ def run(
                             "(chunked AMG-CG inner)")
                     inner_dtype = jnp.float32 if use_ir else dtype
                     hier_i = amg_mod.build(system, system.bc_dofs,
-                                           dtype=inner_dtype)
+                                           dtype=inner_dtype,
+                                           coarse_max=20000)
                     bc_np = np.zeros(n, dtype=bool)
                     bc_np[np.asarray(system.bc_dofs)] = True
                     mf64 = jnp.asarray(bc_np, dtype=dtype)

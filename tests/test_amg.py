@@ -106,6 +106,23 @@ def test_amg_f32_cast_and_chunked_cg():
     assert rel < 5e-5
 
 
+def test_dense_coarse_inverse_production_shape():
+    """Production hierarchies (coarse_max=20000 at the bench/stepper/newton
+    call sites) stop coarsening early and solve the coarsest block with a
+    dense inverse (amg._dense_inv; f32 LAPACK above 4096 dofs): on TPU the
+    ELL coarse cycle was 79.5 ms of the 188 ms V-cycle at 527k dofs.  The
+    f32-accurate inverse must still precondition f64 CG to 1e-9."""
+    _, s, fop, bc_mask, A, b = _setup(11)  # 5184 dofs -> f32 inverse path
+    h = amg.build(s, s.bc_dofs, coarse_max=20000)
+    assert len(h.levels) == 1  # whole problem inside the dense block
+    assert h.coarse_inv.shape == (s.ndof, s.ndof)
+    res = cg.pcg(A, b, rtol=1e-9, maxiter=50,
+                 precond=amg.preconditioner(h, A))
+    bn = float(jnp.linalg.norm(b))
+    assert float(res.resnorm) <= 1e-9 * bn
+    assert int(res.iters) <= 10  # near-exact preconditioner
+
+
 def test_stepper_amg_route_matches_direct():
     from fem_tpu.config import Config
     from fem_tpu.solver import stepper

@@ -61,7 +61,9 @@ def main():
         s = System(p, dtype=jnp.float64)
         log(f"mesh: {p.nels} hex8, ndof={s.ndof}")
         fop = op_mod.build(s).astype(jnp.float32)
-        h = amg.build(s, s.bc_dofs, dtype=jnp.float32)
+        h = amg.build(s, s.bc_dofs, dtype=jnp.float32,
+                      coarse_max=int(os.environ.get("FEM_TPU_AMG_CMAX",
+                                                    "20000")))
         bc_mask = np.zeros(s.ndof, dtype=bool)
         bc_mask[np.asarray(s.bc_dofs)] = True
         nnds = s.ndof // s.pdim
