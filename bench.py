@@ -299,6 +299,8 @@ def bench_amg_solve(n=None):
     from fem_tpu.ops import operator as op_mod
     from fem_tpu.solver import amg, cg
 
+    from fem_tpu.ops import blockstencil as bs
+
     cpu = jax.devices("cpu")[0]
     tpu = jax.devices()[0]
     with jax.default_device(cpu):
@@ -307,12 +309,36 @@ def bench_amg_solve(n=None):
                                     jitter=0.25)
         s = System(p, dtype=jnp.float64)
         log(f"amg solve: jittered mesh {p.nels} hex8, ndof={s.ndof}")
-        fop64 = op_mod.build(s)
-        fop32 = fop64.astype(jnp.float32)
+        A_csr = amg.assemble_csr(s)
         # coarse_max=20000: stop at the first aggressive-coarsening level and
         # solve it with a dense inverse (amg._dense_inv) — the ELL coarse
         # cycle was 79.5 ms of the 188 ms V-cycle at 527k dofs.
-        h32 = amg.build(s, s.bc_dofs, coarse_max=20000).astype(jnp.float32)
+        h32 = amg.build(s, s.bc_dofs, A=A_csr,
+                        coarse_max=20000).astype(jnp.float32)
+        # Operator tier (ops/blockstencil.py): the jittered box is
+        # geometrically unstructured but its TOPOLOGY is a lattice, so the
+        # fine matvec runs as a variable-coefficient 27-point block stencil
+        # (static shifted slices, zero gathers) instead of the fused
+        # gather schedule. FEM_TPU_AMG_NO_STENCIL=1 forces the general
+        # gather path (the honest any-topology metric).
+        dims = None
+        if os.environ.get("FEM_TPU_AMG_NO_STENCIL", "0") != "1":
+            dims = bs.detect(A_csr, s.pdim, s.nnds)
+        if dims is not None:
+            # raw-matrix blocks + external float masks: same semantics as
+            # the fused path, and the BC-column couplings stay available
+            # for prescribed-displacement lifts
+            op64 = bs.build(A_csr, s.pdim, dims)
+            op32 = op64.astype(jnp.float32)
+            op_kind = "blockstencil"
+            mv_cm = bs.matvec_cm
+        else:
+            op64 = op_mod.build(s)
+            op32 = op64.astype(jnp.float32)
+            op_kind = "fused-gather"
+            mv_cm = op_mod.matvec_cm
+        del A_csr
+        log(f"amg solve: fine operator = {op_kind}")
         bc_mask = jnp.zeros(s.ndof, bool).at[s.bc_dofs].set(True)
         mf32 = jnp.asarray(bc_mask, jnp.float32)
         mf64 = jnp.asarray(bc_mask, jnp.float64)
@@ -324,27 +350,27 @@ def bench_amg_solve(n=None):
         mf32_cm = jnp.asarray(np.asarray(mf32).reshape(nnds, s.pdim).T)
         mf64_cm = jnp.asarray(np.asarray(mf64).reshape(nnds, s.pdim).T)
         F_cm = jnp.asarray(np.asarray(F).reshape(nnds, s.pdim).T)
-    fop64, fop32, h32, mf32_cm, mf64_cm, F_cm = jax.device_put(
-        (fop64, fop32, h32, mf32_cm, mf64_cm, F_cm), tpu)
+    op64, op32, h32, mf32_cm, mf64_cm, F_cm = jax.device_put(
+        (op64, op32, h32, mf32_cm, mf64_cm, F_cm), tpu)
 
     def mv32(ops, v):
         o, _ = ops
         keep = 1.0 - mf32_cm
-        return op_mod.matvec_cm(o, v * keep) * keep + v * mf32_cm
+        return mv_cm(o, v * keep) * keep + v * mf32_cm
 
     def pc32(ops, r):
         o, hh = ops
         keep = 1.0 - mf32_cm
 
         def fine_mv(v):
-            return op_mod.matvec_cm(o, v * keep) * keep + v * mf32_cm
+            return mv_cm(o, v * keep) * keep + v * mf32_cm
 
         return amg.v_cycle_cm(hh, fine_mv, r)
 
     @jax.jit
     def true_resid(fop, Fv, mf, x2):
         keep = 1.0 - mf
-        ax = op_mod.matvec_cm(fop, x2 * keep) * keep + x2 * mf
+        ax = mv_cm(fop, x2 * keep) * keep + x2 * mf
         return Fv * keep - ax
 
     def solve():
@@ -352,14 +378,19 @@ def bench_amg_solve(n=None):
         inner = 0
         r0 = None
         for k in range(6):
-            r = true_resid(fop64, F_cm, mf64_cm, x)
+            r = true_resid(op64, F_cm, mf64_cm, x)
             rn = float(jnp.sqrt(jnp.sum(r * r)))
             if r0 is None:
                 r0 = rn
             if rn <= 1e-9 * r0:
                 break
+            # adaptive per-cycle tolerance: ask only for the remaining
+            # reduction (x0.5 safety) instead of a fixed 1e-5 — the last
+            # cycle otherwise overshoots the 1e-9 target ~100x (wasted
+            # iterations)
+            cyc_rtol = float(np.clip(0.5 * 1e-9 * r0 / rn, 1e-5, 0.5))
             res = cg.pcg_chunked(mv32, r.astype(jnp.float32), pc32,
-                                 (fop32, h32), rtol=1e-5, maxiter=120,
+                                 (op32, h32), rtol=cyc_rtol, maxiter=120,
                                  chunk=2)
             inner += int(res.iters)
             x = x + res.x.astype(jnp.float64) * (1.0 - mf64_cm)
@@ -373,7 +404,8 @@ def bench_amg_solve(n=None):
     dt = time.perf_counter() - t0
     rec = {"metric": "amg_ir_solve_wall_1e-9", "value": round(dt, 3),
            "unit": "s", "ndof": s.ndof, "inner_iters": inner,
-           "rel_residual": rel, "cold_s": round(cold, 1)}
+           "rel_residual": rel, "cold_s": round(cold, 1),
+           "operator": op_kind}
     log(json.dumps(rec))
     try:
         path = os.path.join(os.path.dirname(os.path.abspath(__file__)),

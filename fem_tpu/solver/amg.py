@@ -340,12 +340,26 @@ def _lambda_max(A, dinv, iters=30, seed=0):
 
 
 @jax.jit
-def _chol_inv_jit(A):
-    """A^-1 for SPD A via Cholesky: L^-T L^-1 (device-side, one fused jit)."""
-    L = jnp.linalg.cholesky(A)
-    eye = jnp.eye(A.shape[0], dtype=A.dtype)
-    Linv = jax.scipy.linalg.solve_triangular(L, eye, lower=True)
-    return jnp.matmul(Linv.T, Linv, precision=jax.lax.Precision.HIGHEST)
+def _chol_inv_jit(S):
+    """S^-1 for SPD S via Cholesky + one Newton-Schulz polish (device-side).
+
+    Traced under true-f32 matmul precision: the TPU default lowers f32
+    matmuls inside cholesky/solve_triangular to bf16 MXU passes, which
+    turned the 'exact' coarse solve into a ~1e-3 one (measured +6 CG
+    iterations at 527k dofs). The caller passes the diagonally EQUILIBRATED
+    operator (f32 Cholesky breaks down around cond ~1e7; equilibration
+    strips the diagonal spread), and the Newton-Schulz step
+    X <- X(2I - S X) squares the remaining inverse error — two cheap MXU
+    matmuls."""
+    with jax.default_matmul_precision("float32"):
+        L = jnp.linalg.cholesky(S)
+        eye = jnp.eye(S.shape[0], dtype=S.dtype)
+        Linv = jax.scipy.linalg.solve_triangular(L, eye, lower=True)
+        hi = jax.lax.Precision.HIGHEST
+        X = jnp.matmul(Linv.T, Linv, precision=hi)
+        X = jnp.matmul(X, 2.0 * eye - jnp.matmul(S, X, precision=hi),
+                       precision=hi)
+        return 0.5 * (X + X.T)
 
 
 def _dense_inv(Kc):
@@ -363,21 +377,46 @@ def _dense_inv(Kc):
     minutes on this 1-core host), host LAPACK otherwise (f32 above 4096:
     backward-stable, and the production hierarchy is cast to f32 anyway).
     """
+    import sys
+    import time as _time
+
     n = Kc.shape[0]
+    t0 = _time.perf_counter()
     if n >= 8000:
         try:
             dev = jax.devices()[0]
             if dev.platform != "cpu":
-                A = jax.device_put(jnp.asarray(Kc.astype(np.float32)), dev)
+                # diagonal equilibration: inv(K) = d * inv(S) * d with
+                # S = d K d, d = diag(K)^-1/2 — strips the diagonal spread
+                # that pushes f32 Cholesky past breakdown
+                d = Kc.diagonal().copy()
+                d[d <= 0.0] = 1.0
+                d = 1.0 / np.sqrt(d)
+                S = (Kc * d[None, :]) * d[:, None]
+                A = jax.device_put(jnp.asarray(S.astype(np.float32)), dev)
                 X = _chol_inv_jit(A)
                 Xn = np.asarray(X, dtype=np.float64)
-                del A, X
+                del A, X, S
                 if np.isfinite(Xn).all():
+                    print(
+                        f"[amg] dense coarse inverse n={n}: device f32 "
+                        f"chol+NS, {_time.perf_counter() - t0:.1f}s",
+                        file=sys.stderr, flush=True,
+                    )
+                    Xn = (Xn * d[None, :]) * d[:, None]
                     return 0.5 * (Xn + Xn.T)
-        except Exception:
-            pass
-    dt = np.float32 if n >= 4096 else np.float64
-    inv = np.linalg.inv(Kc.astype(dt)).astype(np.float64)
+                print(f"[amg] device f32 cholesky of n={n} coarse block "
+                      "not finite; falling back to host f64 LAPACK",
+                      file=sys.stderr, flush=True)
+        except Exception as e:
+            print(f"[amg] device coarse inverse failed ({e!r}); "
+                  "falling back to host f64 LAPACK",
+                  file=sys.stderr, flush=True)
+    inv = np.linalg.inv(Kc)
+    if n >= 4096:
+        print(f"[amg] dense coarse inverse n={n}: host f64 LAPACK, "
+              f"{_time.perf_counter() - t0:.1f}s",
+              file=sys.stderr, flush=True)
     return 0.5 * (inv + inv.T)
 
 

@@ -58,13 +58,24 @@ def _st_true_resid_g(op, bg, mf, xg):
     return bg - ax
 
 
-def _amg_mv_cm(ops, v):
-    """Masked fused unstructured matvec in component-major (pdim, nnds)."""
+def _mv_any_cm(op, v):
+    """Component-major K @ v for either fine-operator tier: the fused
+    gather schedule (any topology) or the lattice block stencil (zero
+    gathers — ops/blockstencil.py). Dispatch is on the operand's pytree
+    type, resolved at trace time."""
+    from fem_tpu.ops import blockstencil as bs_mod
     from fem_tpu.ops import operator as op_mod
 
+    if isinstance(op, bs_mod.BlockStencilOperator):
+        return bs_mod.matvec_cm(op, v)
+    return op_mod.matvec_cm(op, v)
+
+
+def _amg_mv_cm(ops, v):
+    """Masked unstructured matvec in component-major (pdim, nnds)."""
     mf = ops["mf_cm"]
     keep = 1.0 - mf
-    return op_mod.matvec_cm(ops["op"], v * keep) * keep + v * mf
+    return _mv_any_cm(ops["op"], v * keep) * keep + v * mf
 
 
 def _amg_pc_cm(ops, r):
@@ -75,10 +86,8 @@ def _amg_pc_cm(ops, r):
 
 @jax.jit
 def _amg_true_resid_cm(fop, bg, mf, x):
-    from fem_tpu.ops import operator as op_mod
-
     keep = 1.0 - mf
-    ax = op_mod.matvec_cm(fop, x * keep) * keep + x * mf
+    ax = _mv_any_cm(fop, x * keep) * keep + x * mf
     return bg - ax
 
 
@@ -531,16 +540,31 @@ def run(
                 from fem_tpu.solver import amg as amg_mod
 
                 log("    AMG preconditioner (smoothed aggregation)")
-                op = op_mod.build(system)
                 # f64 configs run f32 chunked AMG-CG inside f64 iterative
                 # refinement — MUMPS-grade accuracy on ANY mesh at f32 speed
                 # (main.F90:354-390; VERDICT r2 missing #2). The hierarchy
                 # and inner operator are built directly in the inner dtype.
                 use_ir = jnp.dtype(dtype) == jnp.dtype(jnp.float64)
                 inner_dtype = jnp.float32 if use_ir else dtype
-                op_i = op.astype(inner_dtype) if use_ir else op
+                from fem_tpu.ops import blockstencil as bs_mod
+
+                A_csr = amg_mod.assemble_csr(system)
+                dims = bs_mod.detect(A_csr, system.pdim,
+                                     n // system.pdim)
+                if dims is not None:
+                    # lattice topology (jittered/graded grid): the fine
+                    # matvec runs as a variable-coefficient block stencil
+                    # — static shifted slices, zero gather indices
+                    log("    Lattice topology: block-stencil fine operator")
+                    op = bs_mod.build(A_csr, system.pdim, dims, dtype=dtype)
+                    op_i = op.astype(inner_dtype) if use_ir else op
+                else:
+                    op = op_mod.build(system)
+                    op_i = op.astype(inner_dtype) if use_ir else op
                 hier_i = amg_mod.build(system, system.bc_dofs,
-                                       dtype=inner_dtype)
+                                       dtype=inner_dtype,
+                                       coarse_max=20000, A=A_csr)
+                del A_csr
                 bc_mask = jnp.zeros(n, dtype=bool).at[system.bc_dofs].set(True)
                 mf_s = jnp.asarray(bc_mask, dtype=dtype)
                 # component-major state: the fused matvec's fastest layout
@@ -561,7 +585,7 @@ def run(
                         keep = 1.0 - mf_cm
                         F_cm = F.reshape(nnds_, system.pdim).T
                         b = (
-                            F_cm - op_mod.matvec_cm(op, ubc_cm)
+                            F_cm - _mv_any_cm(op, ubc_cm)
                         ) * keep + ubc_cm * mf_cm
                         the_rtol = rtol if rtol else 1e-9
                         x = (
@@ -579,9 +603,11 @@ def run(
                             rn = float(jnp.sqrt(jnp.sum(r * r)))
                             if rn <= the_rtol * r0n or inner_total >= budget:
                                 break
+                            cyc_rtol = float(np.clip(
+                                0.5 * the_rtol * r0n / rn, 1e-5, 0.5))
                             res = cg.pcg_chunked(
                                 _amg_mv_cm, r.astype(inner_dtype),
-                                _amg_pc_cm, amg_ops, rtol=1e-5,
+                                _amg_pc_cm, amg_ops, rtol=cyc_rtol,
                                 maxiter=min(120, budget - inner_total),
                                 chunk=2,
                             )
@@ -599,7 +625,7 @@ def run(
                         keep = 1.0 - mf_cm
                         F_cm = F.reshape(nnds_, system.pdim).T
                         b = (
-                            F_cm - op_mod.matvec_cm(op, ubc_cm)
+                            F_cm - _mv_any_cm(op, ubc_cm)
                         ) * keep + ubc_cm * mf_cm
                         x0cm = (
                             x0.reshape(nnds_, system.pdim).T * keep

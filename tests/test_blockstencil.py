@@ -1,0 +1,143 @@
+"""Lattice block-stencil fine operator (ops/blockstencil.py).
+
+Tier-2 of the elastic-matvec hierarchy: meshes whose assembled topology is
+a lattice (jittered/graded/mapped grids) run a variable-coefficient
+27/9-point block stencil with STATIC shifted slices — zero gather indices —
+instead of the fused gather schedule. Must be bit-compatible with the fused
+operator's K (same assembled matrix, different schedule) and reject any
+non-lattice topology exactly.
+"""
+
+import dataclasses
+
+import jax.numpy as jnp
+import numpy as np
+
+from fem_tpu.io import meshgen
+from fem_tpu.models.system import System
+from fem_tpu.ops import blockstencil as bs
+from fem_tpu.ops import operator as op_mod
+from fem_tpu.solver import amg, cg
+
+
+def _matvec_err(p):
+    s = System(p, dtype=jnp.float64)
+    A = amg.assemble_csr(s)
+    dims = bs.detect(A, s.pdim, s.nnds)
+    assert dims is not None
+    op = bs.build(A, s.pdim, dims)
+    fop = op_mod.build(s)
+    rng = np.random.default_rng(0)
+    v = jnp.asarray(rng.standard_normal(s.ndof))
+    y1 = op_mod.matvec(fop, v)
+    y2 = bs.matvec(op, v)
+    return dims, float(jnp.linalg.norm(y1 - y2) / jnp.linalg.norm(y1))
+
+
+def test_detect_and_parity_3d_jittered():
+    p = meshgen.hex_box_problem(7, 5, 6, jitter=0.3)
+    dims, err = _matvec_err(p)
+    assert dims == (8, 6, 7)
+    assert err < 1e-13
+
+
+def test_detect_and_parity_2d():
+    p = meshgen.quad_grid_problem(9, 6, E=100.0, nu=0.3,
+                                  tip_force=(0.0, -1.0))
+    dims, err = _matvec_err(p)
+    assert dims == (7, 10)  # lex with the deck's fast axis innermost
+    assert err < 1e-13
+
+
+def test_detect_rejects_permuted_topology():
+    """Renumbered nodes break the lex-lattice premise — must fall back."""
+    import scipy.sparse as sp
+
+    p = meshgen.hex_box_problem(5, 5, 5, jitter=0.2)
+    s = System(p, dtype=jnp.float64)
+    A = amg.assemble_csr(s)
+    perm = np.random.default_rng(1).permutation(s.nnds)
+    dofperm = (perm[:, None] * s.pdim + np.arange(s.pdim)).reshape(-1)
+    P = sp.coo_matrix(
+        (np.ones(s.ndof), (dofperm, np.arange(s.ndof))),
+        shape=(s.ndof, s.ndof),
+    ).tocsr()
+    assert bs.detect((P @ A @ P.T).tocsr(), s.pdim, s.nnds) is None
+
+
+def test_cohesive_interface_elastic_block_parity():
+    """The two-block cohesive strip's ELASTIC matrix: the block numbering
+    embeds both halves in one lattice (the seam rows simply carry zero
+    coupling blocks), so detection may legitimately succeed — what matters
+    is that the stencil reproduces the elastic K exactly."""
+    p = meshgen.cohesive_interface_problem(6, 3)
+    s = System(p, dtype=jnp.float64)
+    A = amg.assemble_csr(s)
+    dims = bs.detect(A, s.pdim, s.nnds)
+    if dims is None:
+        return  # numbering did not embed — fallback path, nothing to check
+    op = bs.build(A, s.pdim, dims)
+    fop = op_mod.build(s)
+    rng = np.random.default_rng(0)
+    v = jnp.asarray(rng.standard_normal(s.ndof))
+    y1 = op_mod.matvec(fop, v)
+    y2 = bs.matvec(op, v)
+    assert float(jnp.linalg.norm(y1 - y2) / jnp.linalg.norm(y1)) < 1e-13
+
+
+def test_masked_cg_solve_matches_dense():
+    """Full CG solve through the stencil matvec against the dense direct
+    solution (same masked-operator semantics as the fused path)."""
+    p = meshgen.hex_box_problem(6, 6, 6, jitter=0.25)
+    s = System(p, dtype=jnp.float64)
+    A = amg.assemble_csr(s)
+    dims = bs.detect(A, s.pdim, s.nnds)
+    op = bs.build(A, s.pdim, dims)
+    bc_mask = jnp.zeros(s.ndof, bool).at[s.bc_dofs].set(True)
+    Am = cg.masked_operator(lambda v: bs.matvec(op, v), bc_mask)
+    b = jnp.where(bc_mask, 0.0, s.rhs(0.0))
+    res = cg.pcg(Am, b, rtol=1e-10, maxiter=2000)
+    K = np.array(s.dense_K())
+    bc = np.asarray(s.bc_dofs)
+    K[bc, :] = 0.0
+    K[:, bc] = 0.0
+    K[bc, bc] = 1.0
+    x_ref = np.linalg.solve(K, np.asarray(b))
+    err = np.linalg.norm(np.asarray(res.x) - x_ref) / np.linalg.norm(x_ref)
+    assert err < 1e-8
+
+
+def test_stepper_stencil_route_with_prescribed_displacement():
+    """The stepper's AMG branch must take the block-stencil route on a
+    lattice deck AND keep the prescribed-displacement lift exact: the
+    stencil is built from the RAW matrix, so the BC-column couplings in
+    F - K @ u_bc survive (an eliminated-matrix stencil would zero them)."""
+    from fem_tpu.config import Config
+    from fem_tpu.solver import stepper
+
+    p = meshgen.quad_grid_problem(8, 6, E=100.0, nu=0.3, fix_left=False)
+    coords = np.asarray(p.coords).copy()
+    # jitter interior nodes: geometrically unstructured (tier-1
+    # structured.detect must reject it) but lattice-topology (tier 2)
+    interior = (
+        (coords[:, 0] > 0) & (coords[:, 0] < coords[:, 0].max())
+        & (coords[:, 1] > 0) & (coords[:, 1] < coords[:, 1].max())
+    )
+    rng = np.random.default_rng(3)
+    coords[interior] += 0.03 * (rng.random((interior.sum(), 2)) - 0.5)
+    p = dataclasses.replace(p, coords=coords)
+    bottom = np.nonzero(coords[:, 1] == 0.0)[0]
+    top = np.nonzero(coords[:, 1] == coords[:, 1].max())[0]
+    bc_dofs = np.concatenate(
+        [2 * bottom, 2 * bottom + 1, 2 * top + 1]
+    ).astype(np.int32)
+    bc_vals = np.concatenate(
+        [np.zeros(2 * len(bottom)), np.full(len(top), 0.1)]
+    )
+    p = dataclasses.replace(p, bc_dofs=bc_dofs, bc_vals=bc_vals)
+    msgs = []
+    r = stepper.run(p, Config(solver="cg", precond="amg"), log=msgs.append)
+    assert any("block-stencil" in m for m in msgs)
+    r_dir = stepper.run(p, Config(solver="direct"))
+    nu_ = np.linalg.norm(r_dir.aggregate_u)
+    assert np.linalg.norm(r.aggregate_u - r_dir.aggregate_u) < 1e-7 * nu_
