@@ -394,17 +394,21 @@ def _dense_inv(Kc):
                 d = 1.0 / np.sqrt(d)
                 S = (Kc * d[None, :]) * d[:, None]
                 A = jax.device_put(jnp.asarray(S.astype(np.float32)), dev)
-                X = _chol_inv_jit(A)
-                Xn = np.asarray(X, dtype=np.float64)
-                del A, X, S
-                if np.isfinite(Xn).all():
+                del S
+                dj = jax.device_put(jnp.asarray(d.astype(np.float32)), dev)
+                X = _descale_jit(_chol_inv_jit(A), dj)
+                # finiteness probe pulls ONE scalar; the (n, n) inverse
+                # itself STAYS ON DEVICE (pulling a 361 MB block through
+                # the relay and shipping it back cost most of a measured
+                # 508 s setup at n=9504)
+                if bool(jnp.isfinite(jnp.sum(X))):
                     print(
                         f"[amg] dense coarse inverse n={n}: device f32 "
                         f"chol+NS, {_time.perf_counter() - t0:.1f}s",
                         file=sys.stderr, flush=True,
                     )
-                    Xn = (Xn * d[None, :]) * d[:, None]
-                    return 0.5 * (Xn + Xn.T)
+                    del A
+                    return X
                 print(f"[amg] device f32 cholesky of n={n} coarse block "
                       "not finite; falling back to host f64 LAPACK",
                       file=sys.stderr, flush=True)
@@ -418,6 +422,12 @@ def _dense_inv(Kc):
               f"{_time.perf_counter() - t0:.1f}s",
               file=sys.stderr, flush=True)
     return 0.5 * (inv + inv.T)
+
+
+@jax.jit
+def _descale_jit(X, d):
+    X = (X * d[None, :]) * d[:, None]
+    return 0.5 * (X + X.T)
 
 
 def _to_ell(A, dtype):
@@ -651,7 +661,11 @@ def build(
     )
     return AMGPrecond(
         levels=tuple(levels),
-        coarse_inv=jnp.asarray(coarse_inv.astype(np_dtype)),
+        # a committed device f32 array from _dense_inv stays as-is (all
+        # production hierarchies run f32; upcasting 361+ MB to f64 on
+        # device would be pure waste)
+        coarse_inv=(coarse_inv if isinstance(coarse_inv, jax.Array)
+                    else jnp.asarray(coarse_inv.astype(np_dtype))),
         degree=degree,
     )
 

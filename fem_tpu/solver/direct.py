@@ -14,19 +14,38 @@ import jax.numpy as jnp
 import jax.scipy.linalg as jsl
 
 
+def _lu_device(dtype):
+    """TPU XLA implements LuDecomposition only for f32/c64; the f64 dense
+    direct path (small decks, MUMPS's role) must factorize on the host CPU
+    backend — same division of labor as the reference, whose MUMPS LU is a
+    host-side library call (main.F90:354-390)."""
+    if jnp.dtype(dtype) == jnp.float64 and jax.default_backend() != "cpu":
+        return jax.devices("cpu")[0]
+    return None
+
+
 def factorize(K):
     """LU-factorize once; reuse across time steps (the reference sets up the
     KSP once, main.F90:199-214)."""
+    dev = _lu_device(K.dtype)
+    if dev is not None:
+        K = jax.device_put(K, dev)
     lu, piv = jsl.lu_factor(K)
     return (lu, piv)
 
 
 def solve_factorized(fac, F):
     lu, piv = fac
+    dev = _lu_device(lu.dtype)
+    if dev is not None:
+        F = jax.device_put(F, dev)
     return jsl.lu_solve((lu, piv), F)
 
 
 def solve(K, F):
+    dev = _lu_device(K.dtype)
+    if dev is not None:
+        K, F = jax.device_put(K, dev), jax.device_put(F, dev)
     return jnp.linalg.solve(K, F)
 
 

@@ -460,6 +460,19 @@ def solve_step_total(
 # minutes-long chunk program every Newton solve (ADVICE r2).
 
 
+def _el_mv_flat(fop, v):
+    """Flat (ndof,) elastic K @ v for either fine-operator tier (fused
+    gathers or lattice block stencil — the two-block cohesive strip's
+    elastic graph embeds in one lattice, the seam rows carrying zero
+    blocks). Pytree-type dispatch at trace time."""
+    from fem_tpu.ops import blockstencil as bs_mod
+    from fem_tpu.ops import operator as op_mod
+
+    if isinstance(fop, bs_mod.BlockStencilOperator):
+        return bs_mod.matvec(fop, v)
+    return op_mod.matvec(fop, v)
+
+
 def _mf_jac_mv(ops, v):
     """Masked J @ v = (K_el + K_coh(u)) @ v on flat (ndof,) state.
 
@@ -470,11 +483,9 @@ def _mf_jac_mv(ops, v):
     CLAUDE.md). Flat-state fused combines are safe at cohesive-deck sizes
     (miscompile #5 starts at ~1.59M dofs on grid programs; these decks sit
     well below — the guard is the true-residual check in inner_solve)."""
-    from fem_tpu.ops import operator as op_mod
-
     keep, mf = ops["keep"], ops["mf"]
     vk = v * keep
-    out = op_mod.matvec(ops["fop"], vk)
+    out = _el_mv_flat(ops["fop"], vk)
     edofs = ops["edofs"]
     fe = jnp.einsum("eab,eb->ea", ops["ke"], vk[edofs])
     out = out.at[edofs.reshape(-1)].add(fe.reshape(-1))
@@ -653,15 +664,31 @@ def _matfree_amg_cache(system: System):
             hv.blocks[name] = he
 
         with jax.default_device(cpu):
+            from fem_tpu.ops import blockstencil as bs_mod
+
             fop64 = op_mod.build(hv)
+            A_csr = amg_mod.assemble_csr(hv)
             hier32 = amg_mod.build(hv, np.asarray(system.bc_dofs),
-                                   dtype=jnp.float32, coarse_max=20000)
+                                   dtype=jnp.float32, coarse_max=20000,
+                                   A=A_csr)
+            # lattice tier for the inner elastic matvecs: the cohesive
+            # strip's block numbering embeds both halves in one lattice
+            # (zero blocks across the seam), so the f32 smoother/CG
+            # matvecs run gather-free
+            dims = bs_mod.detect(A_csr, system.pdim,
+                                 system.ndof // system.pdim)
+            if dims is not None:
+                fop_i = bs_mod.build(A_csr, system.pdim, dims,
+                                     dtype=jnp.float32)
+            else:
+                fop_i = fop64.astype(jnp.float32)
+            del A_csr
             bc_np = np.zeros(system.ndof, dtype=bool)
             bc_np[np.asarray(system.bc_dofs)] = True
             mf32 = jnp.asarray(bc_np, dtype=jnp.float32)
             e = hv.blocks["coh"]
             cache = dict(
-                fop=fop64.astype(jnp.float32),
+                fop=fop_i,
                 hier=hier32,
                 keep=1.0 - mf32,
                 mf=mf32,
