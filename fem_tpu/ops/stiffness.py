@@ -196,6 +196,69 @@ def element_stiffness_lame_batchlast(et: ElementType, ecoords_l, lam, mu):
     return ke
 
 
+def element_stiffness_lame_batchlast_v2(et: ElementType, ecoords_l, lam, mu):
+    """element_stiffness_lame_batchlast with the remaining tiny-dim
+    contractions restructured for the TPU (same math, same (nn, pdim, nn,
+    pdim, ne) result):
+
+    - The Jacobian einsum becomes pdim REAL matmuls (nip*pdim, nn) @
+      (nn, ne) — the huge element batch rides the MXU's N dimension
+      instead of a tiny-dim dot_general (which tile-pads, see
+      operator.block_force).
+    - The 9-divide batched 3x3 inverse collapses to ONE reciprocal per
+      integration point: with G = adj(J)^T dN (adjugate, unrolled over the
+      3-term q contraction), the H integrand s*dNx*dNx = (w/detJ)*G*G —
+      both detJ factors from dNx = adj^T dN / detJ cancel against
+      s = w*detJ except a single w/detJ weight.
+
+    Mirrors FormElKE (m_local.F90:21-67) exactly like the v1 kernel.
+    """
+    dN = jnp.asarray(et.dN, dtype=ecoords_l.dtype)  # (nip, pdim, nn)
+    w = jnp.asarray(et.weights, dtype=ecoords_l.dtype)
+    pdim, nn, ne = ecoords_l.shape
+    nip = dN.shape[0]
+    dN2 = dN.reshape(nip * pdim, nn)
+    # j[p][d]: (nip, ne) Jacobian entries, J[p,d] = sum_a dN[i,p,a] X[a,d]
+    jc = [(dN2 @ ecoords_l[d]).reshape(nip, pdim, ne) for d in range(pdim)]
+    j = [[jc[d][:, p, :] for d in range(pdim)] for p in range(pdim)]
+    if pdim == 2:
+        det = j[0][0] * j[1][1] - j[0][1] * j[1][0]
+        adj = [[j[1][1], -j[0][1]], [-j[1][0], j[0][0]]]
+    elif pdim == 3:
+        a00 = j[1][1] * j[2][2] - j[1][2] * j[2][1]
+        a10 = j[1][2] * j[2][0] - j[1][0] * j[2][2]
+        a20 = j[1][0] * j[2][1] - j[1][1] * j[2][0]
+        det = j[0][0] * a00 + j[0][1] * a10 + j[0][2] * a20
+        adj = [
+            [a00, j[0][2] * j[2][1] - j[0][1] * j[2][2],
+             j[0][1] * j[1][2] - j[0][2] * j[1][1]],
+            [a10, j[0][0] * j[2][2] - j[0][2] * j[2][0],
+             j[0][2] * j[1][0] - j[0][0] * j[1][2]],
+            [a20, j[0][1] * j[2][0] - j[0][0] * j[2][1],
+             j[0][0] * j[1][1] - j[0][1] * j[1][0]],
+        ]
+    else:
+        raise ValueError(f"pdim must be 2 or 3, got {pdim}")
+    # G[i,p,a,e] = sum_q adj[p][q][i,e] * dN[i,q,a] = detJ * dNx[i,p,a,e]
+    G = jnp.stack(
+        [sum(adj[p][q][:, None, :] * dN[:, q, :, None] for q in range(pdim))
+         for p in range(pdim)],
+        axis=1,
+    )  # (nip, pdim, nn, ne)
+    r = w[:, None] / det  # the ONLY division: s/detJ^2 = w/detJ
+    Gr = G * r[:, None, None, :]
+    # H[p,a,q,b,e] = sum_i (w/detJ) G[i,p,a] G[i,q,b]
+    H = jnp.sum(
+        Gr[:, :, :, None, None, :] * G[:, None, None, :, :, :], axis=0
+    )
+    term = lam * H + mu * jnp.transpose(H, (2, 1, 0, 3, 4))  # H[q,a,p,b]
+    ke = jnp.transpose(term, (1, 0, 3, 2, 4))  # (a,p,b,q,e)
+    tr = jnp.einsum("kakbe->abe", H)
+    eye = jnp.eye(pdim, dtype=ecoords_l.dtype)
+    ke = ke + mu * tr[:, None, :, None, :] * eye[None, :, None, :, None]
+    return ke
+
+
 def internal_force_isotropic(et, dNx, scale, lam, mu, ue):
     """Fused matrix-free internal force: f_e = sum_ip B^T sigma(B u_e) w detJ
     without forming B, D, or k_e — the hot CG matvec kernel.

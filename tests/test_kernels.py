@@ -283,3 +283,31 @@ def test_cohesive_quirks_mode_last_ip_only():
     quirk = cohesive.element_force(ecoords, props, ue, dt=0.1, quirks=True)
     # quirks drops ip 1: the two must differ for a generic displacement
     assert not np.allclose(np.asarray(full), np.asarray(quirk))
+
+
+@pytest.mark.parametrize("name", ["hex", "qua"])
+def test_stiffness_batchlast_v2_matches_v1(name):
+    """The MXU-Jacobian / single-reciprocal batch-last kernel
+    (element_stiffness_lame_batchlast_v2) is algebraically identical to
+    both batch-last v1 and the batch-first reference-path kernel."""
+    et = elements.get(name)
+    rng = np.random.default_rng(7)
+    ne = 48
+    if name == "hex":
+        base = np.array(
+            [[0, 0, 0], [1, 0, 0], [1, 1, 0], [0, 1, 0],
+             [0, 0, 1], [1, 0, 1], [1, 1, 1], [0, 1, 1]], dtype=float)
+    else:
+        base = np.array([[0, 0], [1, 0], [1, 1], [0, 1]], dtype=float)
+    ec = base[None] + 0.08 * rng.standard_normal((ne, et.nnodes, et.pdim))
+    lam = jnp.asarray(rng.uniform(1, 2, ne))
+    mu = jnp.asarray(rng.uniform(0.5, 1.5, ne))
+    k_ref = stiffness.element_stiffness_lame(et, jnp.asarray(ec), lam, mu)
+    ecl = jnp.asarray(ec.transpose(2, 1, 0))
+    for fn in (stiffness.element_stiffness_lame_batchlast,
+               stiffness.element_stiffness_lame_batchlast_v2):
+        kg = np.asarray(fn(et, ecl, lam, mu))
+        kb = kg.transpose(4, 0, 1, 2, 3).reshape(ne, et.ndof, et.ndof)
+        np.testing.assert_allclose(
+            kb, np.asarray(k_ref), rtol=1e-12,
+            atol=1e-12 * np.abs(np.asarray(k_ref)).max())
