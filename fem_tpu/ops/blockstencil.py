@@ -151,31 +151,37 @@ def build(A, pdim: int, dims: Tuple[int, ...],
     )
 
 
-def matvec_g(op: BlockStencilOperator, u_g):
-    """A @ u with grid-shaped u (pdim, *dims); returns (pdim, *dims).
-
-    27 (or 9) static shifted slices of the once-padded grid, with the tiny
-    pdim x pdim block contraction UNROLLED elementwise (tiny-dim einsums
-    tile-pad catastrophically on TPU — see operator.block_force)."""
-    nd = len(op.dims)
-    pad = ((0, 0),) + ((1, 1),) * nd
-    up = jnp.pad(u_g, pad)
-    acc = [None] * op.pdim
+def _apply_padded(vals, up, dims, pdim):
+    """The 27 (or 9) static-shifted-slice apply on an ALREADY-padded grid
+    up: (pdim, *(d+2 for d in dims)); vals: (noffs, pdim, pdim, *dims).
+    The tiny pdim x pdim block contraction is UNROLLED elementwise
+    (tiny-dim einsums tile-pad catastrophically on TPU — see
+    operator.block_force)."""
+    nd = len(dims)
+    acc = [None] * pdim
     idx = 0
     for offs in np.ndindex(*(3,) * nd):
         sl = (slice(None),) + tuple(
-            slice(o, o + d) for o, d in zip(offs, op.dims)
+            slice(o, o + d) for o, d in zip(offs, dims)
         )
         us = up[sl]  # (pdim, *dims)
-        w = op.vals[idx]  # (pdim, pdim, *dims)
-        for pp in range(op.pdim):
+        w = vals[idx]  # (pdim, pdim, *dims)
+        for pp in range(pdim):
             t = None
-            for qq in range(op.pdim):
+            for qq in range(pdim):
                 term = w[pp, qq] * us[qq]
                 t = term if t is None else t + term
             acc[pp] = t if acc[pp] is None else acc[pp] + t
         idx += 1
     return jnp.stack(acc, axis=0)
+
+
+def matvec_g(op: BlockStencilOperator, u_g):
+    """A @ u with grid-shaped u (pdim, *dims); returns (pdim, *dims)."""
+    nd = len(op.dims)
+    pad = ((0, 0),) + ((1, 1),) * nd
+    up = jnp.pad(u_g, pad)
+    return _apply_padded(op.vals, up, op.dims, op.pdim)
 
 
 def matvec_cm(op: BlockStencilOperator, u_cm):
@@ -190,3 +196,124 @@ def matvec(op: BlockStencilOperator, u):
     prefer matvec_cm / matvec_g in solvers)."""
     u_cm = u.reshape(op.nnds, op.pdim).T
     return matvec_cm(op, u_cm).T.reshape(-1)
+
+
+# ---------------- DOF-sharded slab layout (halo exchange) ----------------
+# The element-sharded ShardedOperator replicates u and psums a full
+# O(ndof) vector per matvec (parallel/ops.py). For lattice-topology decks
+# this module can do the genuinely scalable thing instead: shard NODE ROW
+# SLABS of the leading lattice axis across the device mesh — each matvec
+# then communicates exactly TWO boundary node planes via ppermute (the
+# classical halo exchange, riding ICI), mirroring the constant-stencil
+# halo path (structured.halo_matvec) the r2 VERDICT asked to productionize
+# (weak #6). Coefficient slabs are disjoint (blocks are row-rooted), so
+# only the u planes ever move.
+
+
+def pad_rows(op: BlockStencilOperator, nd: int) -> BlockStencilOperator:
+    """Pad the leading lattice axis to a multiple of nd with ZERO
+    coefficient blocks. Phantom node rows couple to nothing (their blocks
+    are zero, and no real row's block points into them since the assembled
+    matrix had no such nodes), so results on real rows are exact and
+    phantom outputs are zero."""
+    nx = op.dims[0]
+    rem = (-nx) % nd
+    if rem == 0:
+        return op
+    pad = [(0, 0)] * 3 + [(0, rem)] + [(0, 0)] * (len(op.dims) - 1)
+    return BlockStencilOperator(
+        jnp.pad(op.vals, pad), (nx + rem,) + op.dims[1:], op.pdim
+    )
+
+
+def embed_rows_g(u_g, nx_pad: int):
+    """(pdim, nx, *rest) -> (pdim, nx_pad, *rest), phantom planes zero."""
+    nx = u_g.shape[1]
+    if nx == nx_pad:
+        return u_g
+    pad = [(0, 0), (0, nx_pad - nx)] + [(0, 0)] * (u_g.ndim - 2)
+    return jnp.pad(u_g, pad)
+
+
+def vals_to_slabs(op: BlockStencilOperator, nd: int):
+    """vals -> (nd, noffs, pdim, pdim, cx, *rest) disjoint row slabs
+    (leading lattice axis must divide nd — use pad_rows first)."""
+    nx = op.dims[0]
+    if nx % nd:
+        raise ValueError(f"leading axis {nx} not divisible by {nd} devices")
+    c = nx // nd
+    noffs = op.vals.shape[0]
+    p = op.pdim
+    v = op.vals.reshape((noffs, p, p, nd, c) + op.dims[1:])
+    return jnp.moveaxis(v, 3, 0)
+
+
+def u_to_slabs(u_g, nd: int):
+    """(pdim, nx, *rest) -> (nd, pdim, cx, *rest)."""
+    p = u_g.shape[0]
+    nx = u_g.shape[1]
+    c = nx // nd
+    return jnp.moveaxis(
+        u_g.reshape((p, nd, c) + u_g.shape[2:]), 1, 0
+    )
+
+
+def u_from_slabs(ub):
+    """Inverse of u_to_slabs."""
+    nd, p, c = ub.shape[0], ub.shape[1], ub.shape[2]
+    return jnp.moveaxis(ub, 0, 1).reshape((p, nd * c) + ub.shape[3:])
+
+
+def halo_masks(nd: int, dtype):
+    """Eager float masks zeroing the wrap-around ppermute planes at the
+    physical boundary devices (in-jit bool->float casts are a documented
+    miscompile on this backend — CLAUDE.md #3)."""
+    ml = np.ones(nd, dtype=np.float64)
+    ml[0] = 0.0  # device 0 has no left neighbor
+    mr = np.ones(nd, dtype=np.float64)
+    mr[nd - 1] = 0.0  # last device has no right neighbor
+    return jnp.asarray(ml, dtype=dtype), jnp.asarray(mr, dtype=dtype)
+
+
+def halo_matvec_g(op: BlockStencilOperator, vals_slabs, u_slabs, mesh,
+                  ml, mr, axis=None):
+    """K @ u on the slab layout: two one-plane ppermutes + the local
+    static-shifted-slice apply. u_slabs (nd, pdim, cx, *rest) and
+    vals_slabs (nd, noffs, pdim, pdim, cx, *rest) are sharded P(axis) on
+    their leading device dimension; returns the product in the same slab
+    layout. `op` supplies dims/pdim metadata only (use the pad_rows'd
+    operator); ml/mr come from halo_masks."""
+    try:
+        from jax import shard_map
+    except ImportError:  # pragma: no cover
+        from jax.experimental.shard_map import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    axis = axis or mesh.axis_names[0]
+    nd = mesh.devices.size
+    c = op.dims[0] // nd
+    rest = op.dims[1:]
+    pdim = op.pdim
+
+    def local(vb, ub, mlb, mrb):
+        v, u = vb[0], ub[0]  # (noffs, p, p, c, *rest), (pdim, c, *rest)
+        ndv = jax.lax.axis_size(axis)
+        to_right = [(i, (i + 1) % ndv) for i in range(ndv)]
+        to_left = [(i, (i - 1) % ndv) for i in range(ndv)]
+        # my left halo = left neighbor's LAST plane; right halo = right
+        # neighbor's FIRST plane; boundary devices' wrap-around arrivals
+        # are zeroed by the eager float masks
+        from_left = jax.lax.ppermute(u[:, -1], axis, to_right) * mlb[0]
+        from_right = jax.lax.ppermute(u[:, 0], axis, to_left) * mrb[0]
+        u_ext = jnp.concatenate(
+            [from_left[:, None], u, from_right[:, None]], axis=1
+        )
+        pad = ((0, 0), (0, 0)) + ((1, 1),) * len(rest)
+        up = jnp.pad(u_ext, pad)
+        return _apply_padded(v, up, (c,) + rest, pdim)[None]
+
+    return shard_map(
+        local, mesh=mesh,
+        in_specs=(P(axis), P(axis), P(axis), P(axis)),
+        out_specs=P(axis), check_vma=False,
+    )(vals_slabs, u_slabs, ml, mr)

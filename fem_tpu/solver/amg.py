@@ -340,6 +340,54 @@ def _lambda_max(A, dinv, iters=30, seed=0):
 
 
 @jax.jit
+def _chol_inv_blocked_jit(S):
+    """S^-1 for large equilibrated SPD S: Cholesky + BLOCKED triangular
+    inverse + one Newton-Schulz polish.
+
+    Same math as _chol_inv_jit, different lowering: XLA's
+    solve_triangular(L, I) at n=18900 rematerializes ~100 GB of
+    (k, n) dynamic-update-slice temps and OOMs (measured, 1.07M-dof
+    hierarchy). Here the identity RHS is solved in 2048-wide column
+    panels with an UNROLLED block forward substitution — (b, b)
+    triangular solves plus MXU (b, b) matmuls, live set a few (n, n)
+    buffers. (A pure Newton-Schulz inverse was tried and rejected: its
+    f32 error floor ~n*eps*cond diverges for cond >= ~1e5, while
+    f32 Cholesky is backward-stable to cond ~1e7.)"""
+    hi = jax.lax.Precision.HIGHEST
+    n = S.shape[0]
+    b = 2048
+    nb = -(-n // b)
+    bounds = [(i * b, min(n, (i + 1) * b)) for i in range(nb)]
+    with jax.default_matmul_precision("float32"):
+        L = jnp.linalg.cholesky(S)
+        Lb = [[L[r0:r1, c0:c1] for (c0, c1) in bounds] for (r0, r1) in bounds]
+        panels = []
+        for j in range(nb):
+            j0, j1 = bounds[j]
+            wj = j1 - j0
+            Ys = []
+            for i in range(nb):
+                i0, i1 = bounds[i]
+                ri = i1 - i0
+                if i < j:
+                    Ys.append(jnp.zeros((ri, wj), dtype=S.dtype))
+                    continue
+                acc = (jnp.eye(ri, wj, dtype=S.dtype) if i == j
+                       else jnp.zeros((ri, wj), dtype=S.dtype))
+                for k in range(j, i):
+                    acc = acc - jnp.matmul(Lb[i][k], Ys[k], precision=hi)
+                Ys.append(jax.scipy.linalg.solve_triangular(
+                    Lb[i][i], acc, lower=True))
+            panels.append(jnp.concatenate(Ys, axis=0))
+        Linv = jnp.concatenate(panels, axis=1)
+        X = jnp.matmul(Linv.T, Linv, precision=hi)
+        eye = jnp.eye(n, dtype=S.dtype)
+        X = jnp.matmul(X, 2.0 * eye - jnp.matmul(S, X, precision=hi),
+                       precision=hi)
+        return 0.5 * (X + X.T)
+
+
+@jax.jit
 def _chol_inv_jit(S):
     """S^-1 for SPD S via Cholesky + one Newton-Schulz polish (device-side).
 
@@ -396,7 +444,11 @@ def _dense_inv(Kc):
                 A = jax.device_put(jnp.asarray(S.astype(np.float32)), dev)
                 del S
                 dj = jax.device_put(jnp.asarray(d.astype(np.float32)), dev)
-                X = _descale_jit(_chol_inv_jit(A), dj)
+                # monolithic solve_triangular(L, I) OOMs above ~12k
+                # (XLA remats ~100 GB of temps at n=18900); big blocks
+                # take the panel-blocked route
+                inv_jit = _chol_inv_jit if n < 12000 else _chol_inv_blocked_jit
+                X = _descale_jit(inv_jit(A), dj)
                 # finiteness probe pulls ONE scalar; the (n, n) inverse
                 # itself STAYS ON DEVICE (pulling a 361 MB block through
                 # the relay and shipping it back cost most of a measured

@@ -164,3 +164,76 @@ def test_pad_for_devices_noop_when_divisible():
     op = structured.build((0.1, 0.2, 0.2), (9, 4, 4), lam, mu)
     op_p, embed, extract = structured.pad_for_devices(op, 4)
     assert op_p is op
+
+
+# ---------------- block-stencil (variable-coefficient) halo ----------------
+
+
+@pytest.fixture(scope="module")
+def bs_setup():
+    """Jittered (lattice-topology, non-uniform geometry) mesh: the tier-2
+    operator with per-node coefficient blocks."""
+    from fem_tpu.ops import blockstencil as bs
+    from fem_tpu.solver import amg as amg_mod
+
+    n = 6
+    problem = meshgen.hex_box_problem(n, n, n, lx=1.0, ly=1.0, lz=1.0,
+                                      E=70.0, nu=0.25, tip_load=-1.0,
+                                      jitter=0.2)
+    system = System(problem)
+    A = amg_mod.assemble_csr(system)
+    dims = bs.detect(A, system.pdim, system.ndof // system.pdim)
+    assert dims == (n + 1,) * 3
+    op = bs.build(A, system.pdim, dims)
+    return system, op
+
+
+@pytest.mark.parametrize("nd", [4, 8])
+def test_blockstencil_halo_matvec_matches_local(bs_setup, nd):
+    from fem_tpu.ops import blockstencil as bs
+
+    system, op = bs_setup
+    mesh = make_mesh(nd)
+    rng = np.random.default_rng(0)
+    u_g = jnp.asarray(rng.standard_normal((op.pdim,) + op.dims))
+    ref = bs.matvec_g(op, u_g)
+
+    # 7 rows over 4 devices exercises pad_rows; 8 over 8 is exact
+    opp = bs.pad_rows(op, nd)
+    u_p = bs.embed_rows_g(u_g, opp.dims[0])
+    vals_b = _shard(mesh, bs.vals_to_slabs(opp, nd))
+    u_b = _shard(mesh, bs.u_to_slabs(u_p, nd))
+    ml, mr = bs.halo_masks(nd, u_g.dtype)
+    ml, mr = _shard(mesh, ml), _shard(mesh, mr)
+    out_b = bs.halo_matvec_g(opp, vals_b, u_b, mesh, ml, mr)
+    out = bs.u_from_slabs(out_b)[:, : op.dims[0]]
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-12, atol=1e-12)
+
+
+def test_blockstencil_halo_matvec_jits(bs_setup):
+    from functools import partial
+
+    from fem_tpu.ops import blockstencil as bs
+
+    system, op = bs_setup
+    nd = 4
+    mesh = make_mesh(nd)
+    opp = bs.pad_rows(op, nd)
+    rng = np.random.default_rng(1)
+    u_g = jnp.asarray(rng.standard_normal((op.pdim,) + op.dims))
+    u_p = bs.embed_rows_g(u_g, opp.dims[0])
+    vals_b = _shard(mesh, bs.vals_to_slabs(opp, nd))
+    u_b = _shard(mesh, bs.u_to_slabs(u_p, nd))
+    ml, mr = bs.halo_masks(nd, u_g.dtype)
+    ml, mr = _shard(mesh, ml), _shard(mesh, mr)
+
+    @partial(jax.jit, static_argnums=())
+    def f(vb, ub, a, b):
+        return bs.halo_matvec_g(opp, vb, ub, mesh, a, b)
+
+    out = f(vals_b, u_b, ml, mr)
+    ref = bs.matvec_g(op, u_g)
+    got = bs.u_from_slabs(out)[:, : op.dims[0]]
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-12, atol=1e-12)
