@@ -377,3 +377,36 @@ def hex_box_problem(
         trac_t1=np.zeros(0),
         trac_t2=np.zeros(0),
     )
+
+
+def permute_nodes(problem: Problem, seed: int = 0) -> Problem:
+    """Randomly renumber the nodes of a Problem (same physics, scrambled
+    ids). Scrambling destroys the lex-lattice node ordering, forcing the
+    tier-3 fused-gather operator path — the deterministic way to exercise
+    genuinely-unstructured code paths on generated grids (the reference's
+    parsers accept arbitrary node numbering, m_io.F90)."""
+    import dataclasses as _dc
+
+    rng = np.random.default_rng(seed)
+    nnds = problem.coords.shape[0]
+    perm = rng.permutation(nnds)  # new_id = perm_inv[old_id]
+    inv = np.empty(nnds, dtype=np.int64)
+    inv[perm] = np.arange(nnds)
+    pdim = problem.pdim
+
+    def remap_dofs(d):
+        node, comp = d // pdim, d % pdim
+        return (inv[node] * pdim + comp).astype(d.dtype)
+
+    blocks = {
+        name: _dc.replace(b, conn=inv[b.conn].astype(b.conn.dtype))
+        for name, b in problem.blocks.items()
+    }
+    return _dc.replace(
+        problem,
+        coords=problem.coords[perm],
+        blocks=blocks,
+        bc_dofs=remap_dofs(problem.bc_dofs),
+        force_dofs=remap_dofs(problem.force_dofs),
+        trac_dofs=remap_dofs(problem.trac_dofs),
+    )

@@ -664,24 +664,21 @@ def _matfree_amg_cache(system: System):
             hv.blocks[name] = he
 
         with jax.default_device(cpu):
-            from fem_tpu.ops import blockstencil as bs_mod
-
             fop64 = op_mod.build(hv)
             A_csr = amg_mod.assemble_csr(hv)
             hier32 = amg_mod.build(hv, np.asarray(system.bc_dofs),
                                    dtype=jnp.float32, coarse_max=20000,
                                    A=A_csr)
-            # lattice tier for the inner elastic matvecs: the cohesive
-            # strip's block numbering embeds both halves in one lattice
-            # (zero blocks across the seam), so the f32 smoother/CG
-            # matvecs run gather-free
-            dims = bs_mod.detect(A_csr, system.pdim,
-                                 system.ndof // system.pdim)
-            if dims is not None:
-                fop_i = bs_mod.build(A_csr, system.pdim, dims,
-                                     dtype=jnp.float32)
-            else:
-                fop_i = fop64.astype(jnp.float32)
+            # MEASURED (r3, 105k-dof 2D strip): routing the inner elastic
+            # matvecs through the lattice block stencil here is a 2x
+            # REGRESSION (cohesive_newton_solve_wall 24.8 -> 51.3 s): the
+            # Newton state is flat (ndof,) for the cohesive edof scatters,
+            # and bs.matvec's flat wrapper pays two in-program
+            # (nnds, pdim) transposes per apply — more than the 2D 9-point
+            # gathers it removes. The stencil tier only wins when solver
+            # state stays component-major end-to-end (stepper/bench AMG
+            # paths); keep the fused gather operator here.
+            fop_i = fop64.astype(jnp.float32)
             del A_csr
             bc_np = np.zeros(system.ndof, dtype=bool)
             bc_np[np.asarray(system.bc_dofs)] = True
