@@ -666,9 +666,15 @@ def _matfree_amg_cache(system: System):
         with jax.default_device(cpu):
             fop64 = op_mod.build(hv)
             A_csr = amg_mod.assemble_csr(hv)
+            # DEFAULT coarse_max (deep hierarchy): coarse_max=20000 (the
+            # elastic-bench tuning: 2-level aggressive + dense coarse) was
+            # measured to collapse the FIRST Newton tangent's inner CG on
+            # the 105k strip — 63 s for it0's rtol-1e-4 solve vs 1-4 s for
+            # every other (cohesive_newton_solve_wall 24.8 -> 82.6 s).
+            # The elastic-only preconditioner needs the deeper standard-
+            # aggregation hierarchy to stay effective on K_el + K_coh(0).
             hier32 = amg_mod.build(hv, np.asarray(system.bc_dofs),
-                                   dtype=jnp.float32, coarse_max=20000,
-                                   A=A_csr)
+                                   dtype=jnp.float32, A=A_csr)
             # MEASURED (r3, 105k-dof 2D strip): routing the inner elastic
             # matvecs through the lattice block stencil here is a 2x
             # REGRESSION (cohesive_newton_solve_wall 24.8 -> 51.3 s): the
