@@ -211,6 +211,14 @@ def element_stiffness_lame_batchlast_v2(et: ElementType, ecoords_l, lam, mu):
       both detJ factors from dNx = adj^T dN / detJ cancel against
       s = w*detJ except a single w/detJ weight.
 
+    MEASURED (r3, one v5e chip, 131072 hex8 f32): v1 3.6-3.7 ms, v2
+    4.1-4.4 ms, and a v1-einsum-J + v2-adjugate hybrid 4.5 ms
+    (tools/stiff_ab.py, tools/stiff_v3.py). The "obvious" MXU/division
+    fixes LOSE on this backend — the v1 schedule's tiny einsums and
+    stacked closed-form inverse fuse better than restructured forms, so
+    v1 stays the production kernel and this variant documents the
+    measured dead end.
+
     Mirrors FormElKE (m_local.F90:21-67) exactly like the v1 kernel.
     """
     dN = jnp.asarray(et.dN, dtype=ecoords_l.dtype)  # (nip, pdim, nn)

@@ -666,13 +666,34 @@ def _matfree_amg_cache(system: System):
         with jax.default_device(cpu):
             fop64 = op_mod.build(hv)
             A_csr = amg_mod.assemble_csr(hv)
+            # Hierarchy on the TRUE initial tangent K_el + K_coh(0): the
+            # zero-opening Xu-Needleman tangent is a huge penalty-like
+            # interface stiffness, and an elastic-only preconditioner is
+            # weakest exactly on the FIRST (hardest, rtol-1e-4) Newton
+            # solve. The reference refactorizes the true tangent every
+            # SNES iteration (MUMPS); one frozen true-initial-tangent
+            # hierarchy is the cheap TPU analogue.
             # DEFAULT coarse_max (deep hierarchy): coarse_max=20000 (the
-            # elastic-bench tuning: 2-level aggressive + dense coarse) was
-            # measured to collapse the FIRST Newton tangent's inner CG on
-            # the 105k strip — 63 s for it0's rtol-1e-4 solve vs 1-4 s for
-            # every other (cohesive_newton_solve_wall 24.8 -> 82.6 s).
-            # The elastic-only preconditioner needs the deeper standard-
-            # aggregation hierarchy to stay effective on K_el + K_coh(0).
+            # elastic-bench 2-level aggressive tuning) was measured to
+            # collapse it0's inner CG on the 105k strip (63 s vs 1-4 s
+            # for every other inner solve).
+            e0 = hv.blocks.get("coh")
+            if e0 is not None:
+                from fem_tpu.ops import cohesive as coh_ops
+                from scipy import sparse as _sp
+
+                ue0 = jnp.zeros(
+                    (e0["edofs"].shape[0], e0["edofs"].shape[1]),
+                    dtype=jnp.float64)
+                ke0 = np.asarray(coh_ops.element_stiffness(
+                    e0["ecoords"], e0["props"], ue0, system.dt))
+                ed = np.asarray(e0["edofs"])
+                ne_, nde = ed.shape
+                rows = np.repeat(ed, nde, axis=1).reshape(-1)
+                cols = np.tile(ed, (1, nde)).reshape(-1)
+                A_csr = (A_csr + _sp.coo_matrix(
+                    (ke0.reshape(-1), (rows, cols)),
+                    shape=A_csr.shape).tocsr())
             hier32 = amg_mod.build(hv, np.asarray(system.bc_dofs),
                                    dtype=jnp.float32, A=A_csr)
             # MEASURED (r3, 105k-dof 2D strip): routing the inner elastic
