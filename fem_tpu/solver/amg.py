@@ -509,6 +509,11 @@ class AMGLevel:
     # matvec (fused/stencil) is used instead
     ell_vals: jax.Array
     ell_cols: jax.Array
+    # densified operator for SMALL mid levels (n <= dense_level_max), else
+    # EMPTY (0,0): the w~27 ELL smoother matvec is gather-bound on TPU
+    # (measured 1.92 ms at n=6351 vs ~0.5 ms for one dense streaming pass
+    # — the same trade that moved the coarsest solve to a dense inverse)
+    dense_op: jax.Array
     dinv: jax.Array  # (n,) 1/diag (1.0 on constrained dofs)
     # component-major copy (pdim, nnodes) — level 0 only, empty elsewhere.
     # Precomputed eagerly: the (n,) -> (pdim, nnodes) transpose costs ~5 ms
@@ -559,6 +564,7 @@ def build(
     A=None,
     filter_frac: float = 0.0,
     aggressive_threshold: int = 10000,
+    dense_level_max: int = 8192,
 ) -> AMGPrecond:
     """Build the SA-AMG hierarchy for a System's elastic operator (host-side;
     returns a device pytree). `A` may be a pre-assembled scipy CSR (BCs NOT
@@ -623,7 +629,12 @@ def build(
         A_c = (P.T @ level_A @ P).tocsr()
         A_c.sum_duplicates()
 
+        dense_op = np.zeros((0, 0), dtype=np_dtype)
         if len(levels) == 0:
+            ell_vals = np.zeros((0, 0), dtype=np_dtype)
+            ell_cols = np.zeros((0, 0), dtype=np.int32)
+        elif level_A.shape[0] <= dense_level_max:
+            dense_op = level_A.toarray().astype(np_dtype)
             ell_vals = np.zeros((0, 0), dtype=np_dtype)
             ell_cols = np.zeros((0, 0), dtype=np.int32)
         else:
@@ -653,6 +664,7 @@ def build(
             AMGLevel(
                 ell_vals=jnp.asarray(ell_vals),
                 ell_cols=jnp.asarray(ell_cols),
+                dense_op=jnp.asarray(dense_op),
                 dinv=jnp.asarray(dinv.astype(np_dtype)),
                 dinv_cm=jnp.asarray(
                     dinv.reshape(-1, pdim).T.astype(np_dtype)
@@ -694,6 +706,7 @@ def build(
         AMGLevel(
             ell_vals=jnp.asarray(ell_vals),
             ell_cols=jnp.asarray(ell_cols),
+            dense_op=jnp.asarray(np.zeros((0, 0), dtype=np_dtype)),
             dinv=jnp.asarray(dinv.astype(np_dtype)),
             dinv_cm=jnp.asarray(
                 dinv.reshape(-1, pdim).T.astype(np_dtype)
@@ -729,6 +742,15 @@ def build(
 
 def _ell_matvec(vals, cols, x):
     return jnp.sum(vals * x[cols], axis=1)
+
+
+def _lv_matvec(lv: "AMGLevel", x):
+    """Mid-level operator apply: one dense streaming matmul when the
+    level was densified at build time, gather-ELL otherwise."""
+    if lv.dense_op.shape[0] > 0:
+        return jnp.matmul(lv.dense_op, x,
+                          precision=jax.lax.Precision.HIGHEST)
+    return _ell_matvec(lv.ell_vals, lv.ell_cols, x)
 
 
 def _chebyshev(matvec, lv: AMGLevel, x, b, degree: int):
@@ -769,7 +791,7 @@ def _v(h: AMGPrecond, i: int, mv: Callable, r):
         indices_are_sorted=True,
     )
     nxt = h.levels[i + 1]
-    xc = _v(h, i + 1, lambda v: _ell_matvec(nxt.ell_vals, nxt.ell_cols, v), rc)
+    xc = _v(h, i + 1, lambda v: _lv_matvec(nxt, v), rc)
     x = x + _ell_matvec(lv.p_vals, lv.p_cols, xc)
     return _chebyshev(mv, lv, x, r, h.degree)
 
@@ -850,7 +872,7 @@ def v_cycle_cm(h: AMGPrecond, fine_matvec_cm: Callable, r_cm):
             indices_are_sorted=True,
         )
     nxt = h.levels[1]
-    xc = _v(h, 1, lambda v: _ell_matvec(nxt.ell_vals, nxt.ell_cols, v), rc)
+    xc = _v(h, 1, lambda v: _lv_matvec(nxt, v), rc)
     if has_blk:
         x = x + _prolong_blk(lv, xc)
     else:

@@ -582,9 +582,12 @@ def run(
                         log("    f64/f32 iterative refinement "
                             "(chunked AMG-CG inner)")
                     inner_dtype = jnp.float32 if use_ir else dtype
+                    # _lat was bound by the preceding halo-branch condition
+                    # (same precond==amg guard); reuse its assembled CSR
+                    # instead of re-assembling inside build
                     hier_i = amg_mod.build(system, system.bc_dofs,
                                            dtype=inner_dtype,
-                                           coarse_max=20000)
+                                           coarse_max=20000, A=_lat[0])
                     bc_np = np.zeros(n, dtype=bool)
                     bc_np[np.asarray(system.bc_dofs)] = True
                     mf64 = jnp.asarray(bc_np, dtype=dtype)

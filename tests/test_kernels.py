@@ -311,3 +311,18 @@ def test_stiffness_batchlast_v2_matches_v1(name):
         np.testing.assert_allclose(
             kb, np.asarray(k_ref), rtol=1e-12,
             atol=1e-12 * np.abs(np.asarray(k_ref)).max())
+
+
+def test_direct_f64_routes_to_cpu_backend():
+    """TPU XLA implements LuDecomposition only for f32/c64; the f64 dense
+    direct path must factorize on the host CPU backend (the CLI crashed on
+    the TPU box otherwise). On a CPU-only test run _lu_device is None —
+    assert the dispatch logic directly."""
+    from fem_tpu.solver import direct
+
+    assert direct._lu_device(jnp.float32) is None
+    # on the CPU backend f64 needs no rerouting
+    import jax
+
+    if jax.default_backend() == "cpu":
+        assert direct._lu_device(jnp.float64) is None
