@@ -207,7 +207,10 @@ def matvec(op: BlockStencilOperator, u):
 # classical halo exchange, riding ICI), mirroring the constant-stencil
 # halo path (structured.halo_matvec) the r2 VERDICT asked to productionize
 # (weak #6). Coefficient slabs are disjoint (blocks are row-rooted), so
-# only the u planes ever move.
+# only the u planes ever move. TPU-native analogue of the reference's
+# per-iteration ghost scatter over the MPI partition
+# (/root/reference/src/m_global.F90:549-564) under the distributed solve
+# (/root/reference/src/main.F90:354-390).
 
 
 def pad_rows(op: BlockStencilOperator, nd: int) -> BlockStencilOperator:
