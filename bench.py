@@ -596,7 +596,28 @@ def bench_operators(n=64, iters=30):
 def main():
     baseline, how = measure_reference_baseline()
     log(f"reference 64-core baseline: {baseline:.3e} elems/sec ({how})")
-    ne_rate, per_iter = bench_element_stiffness()
+    # Watchdog on the headline measurement: a wedged TPU worker (this
+    # runtime's documented 30-120 min failure mode, CLAUDE.md) would
+    # otherwise hang BEFORE the one required JSON line is printed. On
+    # timeout, emit an honest failure record instead of nothing.
+    import signal
+
+    def _headline_timeout(s, f):
+        raise TimeoutError("headline stiffness bench timed out")
+
+    signal.signal(signal.SIGALRM, _headline_timeout)
+    signal.alarm(int(os.environ.get("FEM_TPU_BENCH_HEADLINE_CAP", "900")))
+    try:
+        ne_rate, per_iter = bench_element_stiffness()
+    except TimeoutError:
+        print(json.dumps({
+            "metric": "hex8_element_stiffness_throughput",
+            "value": 0.0, "unit": "elems/sec", "vs_baseline": 0.0,
+            "error": "tpu worker unresponsive (wedge); see CLAUDE.md",
+        }), flush=True)
+        return
+    finally:
+        signal.alarm(0)
     log(f"hex8 stiffness (XLA): {ne_rate:.3e} elems/sec "
         f"({per_iter * 1e3:.2f} ms/iter)")
     # Emit the headline IMMEDIATELY after the (reliable) XLA measurement:
