@@ -532,19 +532,25 @@ def run(
                         rn = float(jnp.sqrt(jnp.sum(r * r)))
                         if rn <= the_rtol * r0n or inner_total >= budget:
                             break
-                        cyc_rtol = float(np.clip(
+                        # IR: per-cycle tolerance asks only for the
+                        # remaining reduction (1e-5 floor = f32 CG's
+                        # reliable single-cycle reach). Non-IR (f32
+                        # config): no floor — one call at the target rtol,
+                        # matching the single-device branch.
+                        cyc_rtol = (float(np.clip(
                             0.5 * the_rtol * r0n / rn, 1e-5, 0.5))
+                            if use_ir else the_rtol * r0n / rn)
                         res = cg.pcg_chunked(
                             _hmv_i, r.astype(inner_dtype), _hpc, hops,
                             rtol=cyc_rtol,
-                            maxiter=min(120, budget - inner_total),
+                            maxiter=min(120 if use_ir else budget,
+                                        budget - inner_total),
                             chunk=2,
                         )
                         inner_total += int(res.iters)
                         x = (x + res.x.astype(dtype)) * keep \
                             + ubc_cm * mf_cm64
                         if not use_ir:
-                            # single cycle reaches the target directly
                             r = _htrue(vals_b64, ml64, mr64, b, x)
                             rn = float(jnp.sqrt(jnp.sum(r * r)))
                             break
