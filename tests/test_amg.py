@@ -186,3 +186,56 @@ def test_stepper_amg_f32_warm_start():
     # (recurrence drift), costing at most one chunk — never a full solve
     assert r.krylov_iters[1] <= 5  # one chunk at most, never a full solve
     assert np.isfinite(r.aggregate_u).all()
+
+
+def test_chol_inv_blocked_matches_monolithic():
+    """The panel-blocked triangular inverse (used for coarse blocks
+    >= 12k where XLA's monolithic solve_triangular(L, I) OOMs) is the
+    same math as the monolithic kernel: identical results on a
+    multi-block SPD matrix."""
+    from fem_tpu.solver.amg import _chol_inv_blocked_jit, _chol_inv_jit
+
+    rng = np.random.default_rng(0)
+    n = 3000  # > one 2048 panel -> exercises the off-diagonal recursion
+    B = rng.standard_normal((n, 48)).astype(np.float64)
+    S = B @ B.T / 48
+    S[np.arange(n), np.arange(n)] += 1.0
+    d = 1.0 / np.sqrt(np.diag(S))
+    S = (S * d[None, :]) * d[:, None]
+    Sj = jnp.asarray(S, jnp.float32)
+    Xb = np.asarray(_chol_inv_blocked_jit(Sj), np.float64)
+    Xm = np.asarray(_chol_inv_jit(Sj), np.float64)
+    scale = np.abs(Xm).max()
+    np.testing.assert_allclose(Xb, Xm, atol=5e-5 * scale)
+    resid = np.linalg.norm(Xb @ S - np.eye(n)) / np.sqrt(n)
+    assert resid < 1e-3
+
+
+def test_dense_mid_level_matches_ell_cycle():
+    """Densified small mid-levels produce the same V-cycle action (same
+    math, streaming matmul instead of gather-ELL)."""
+    p = meshgen.hex_box_problem(6, 6, 6, jitter=0.2, t=1.0, dt=1.0)
+    s = System(p)
+    A = amg.assemble_csr(s)
+    h_ell = amg.build(s, s.bc_dofs, A=A, coarse_max=40,
+                      dense_level_max=0)
+    h_den = amg.build(s, s.bc_dofs, A=A, coarse_max=40,
+                      dense_level_max=10**9)
+    assert any(lv.dense_op.shape[0] > 0 for lv in h_den.levels)
+    from fem_tpu.ops import operator as op_mod
+
+    fop = op_mod.build(s)
+    bc = np.zeros(s.ndof, dtype=bool)
+    bc[np.asarray(s.bc_dofs)] = True
+    mf = jnp.asarray(bc, jnp.float64)
+
+    def fine_mv(v):
+        keep = 1.0 - mf
+        return op_mod.matvec(fop, v * keep) * keep + v * mf
+
+    rng = np.random.default_rng(1)
+    r = jnp.asarray(rng.standard_normal(s.ndof))
+    z1 = np.asarray(amg.v_cycle(h_ell, fine_mv, r))
+    z2 = np.asarray(amg.v_cycle(h_den, fine_mv, r))
+    np.testing.assert_allclose(z1, z2, rtol=1e-10,
+                               atol=1e-10 * np.abs(z1).max())
