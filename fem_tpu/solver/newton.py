@@ -500,6 +500,36 @@ def _mf_amg_pc(ops, r):
     return amg_mod.v_cycle(ops["hier"], lambda v: _mf_jac_mv(ops, v), r)
 
 
+def _mf_jac_mv_cm(ops, v_cm):
+    """Masked J @ v in COMPONENT-MAJOR (pdim, nnds) — the lattice tier.
+
+    When the elastic graph embeds in a lattice (the cohesive strip's two
+    blocks in one lattice with zero seam blocks), cm state makes the
+    elastic matvec a gather-free block stencil (bs.matvec_cm). The flat
+    tier measured 2x SLOWER here because bs.matvec's flat wrapper paid
+    two in-program transposes per apply; carrying cm state end-to-end
+    through the inner CG removes them (one eager transpose per SOLVE at
+    the boundary instead of two per MATVEC). The cohesive tangent term
+    gathers/scatters via (comp, node)-decomposed edofs."""
+    from fem_tpu.ops import blockstencil as bs_mod
+
+    keep, mf = ops["keep_cm"], ops["mf_cm"]
+    vk = v_cm * keep
+    out = bs_mod.matvec_cm(ops["fop_cm"], vk)
+    ec, en = ops["ed_comp"], ops["ed_node"]
+    ue = vk[ec, en]  # (ne, nde)
+    fe = jnp.einsum("eab,eb->ea", ops["ke"], ue)
+    out = out.at[ec.reshape(-1), en.reshape(-1)].add(fe.reshape(-1))
+    return out * keep + v_cm * mf
+
+
+def _mf_amg_pc_cm(ops, r_cm):
+    from fem_tpu.solver import amg as amg_mod
+
+    return amg_mod.v_cycle_cm(ops["hier"],
+                              lambda v: _mf_jac_mv_cm(ops, v), r_cm)
+
+
 @functools.partial(jax.jit, static_argnames=("quirks",))
 def _coh_ke(ecoords, props, edofs, dt, u_total, *, quirks: bool):
     """Cohesive element tangent blocks at the current iterate."""
@@ -666,6 +696,10 @@ def _matfree_amg_cache(system: System):
         with jax.default_device(cpu):
             fop64 = op_mod.build(hv)
             A_csr = amg_mod.assemble_csr(hv)
+            # elastic-only snapshot for the lattice probe below: the
+            # cohesive seam couplings added next join node ids that are
+            # NOT lattice neighbors, which would defeat detection
+            A_el = A_csr
             # Hierarchy on the TRUE initial tangent K_el + K_coh(0): the
             # zero-opening Xu-Needleman tangent is a huge penalty-like
             # interface stiffness, and an elastic-only preconditioner is
@@ -696,17 +730,14 @@ def _matfree_amg_cache(system: System):
                     shape=A_csr.shape).tocsr())
             hier32 = amg_mod.build(hv, np.asarray(system.bc_dofs),
                                    dtype=jnp.float32, A=A_csr)
-            # MEASURED (r3, 105k-dof 2D strip): routing the inner elastic
-            # matvecs through the lattice block stencil here is a 2x
-            # REGRESSION (cohesive_newton_solve_wall 24.8 -> 51.3 s): the
-            # Newton state is flat (ndof,) for the cohesive edof scatters,
-            # and bs.matvec's flat wrapper pays two in-program
-            # (nnds, pdim) transposes per apply — more than the 2D 9-point
-            # gathers it removes. The stencil tier only wins when solver
-            # state stays component-major end-to-end (stepper/bench AMG
-            # paths); keep the fused gather operator here.
+            # The flat-state inner solve keeps the fused gather operator:
+            # routing it through bs.matvec's FLAT wrapper measured 2x
+            # SLOWER (two in-program transposes per apply,
+            # cohesive_newton_solve_wall 24.8 -> 51.3 s). The lattice tier
+            # only wins with COMPONENT-MAJOR state end-to-end — built
+            # below as the cm cache when the topology allows, and used by
+            # inner_solve via _mf_jac_mv_cm.
             fop_i = fop64.astype(jnp.float32)
-            del A_csr
             bc_np = np.zeros(system.ndof, dtype=bool)
             bc_np[np.asarray(system.bc_dofs)] = True
             mf32 = jnp.asarray(bc_np, dtype=jnp.float32)
@@ -720,6 +751,23 @@ def _matfree_amg_cache(system: System):
                 ecoords32=e["ecoords"].astype(jnp.float32),
                 props32=e["props"].astype(jnp.float32),
             )
+            from fem_tpu.ops import blockstencil as bs_mod
+
+            pdim = system.pdim
+            dims = bs_mod.detect(A_el, pdim, system.ndof // pdim)
+            if dims is not None:
+                ed = np.asarray(e["edofs"])
+                mf_cm32 = jnp.asarray(
+                    bc_np.reshape(-1, pdim).T.astype(np.float32))
+                cache.update(
+                    fop_cm=bs_mod.build(A_el, pdim, dims,
+                                        dtype=jnp.float32),
+                    mf_cm=mf_cm32,
+                    keep_cm=1.0 - mf_cm32,
+                    ed_node=jnp.asarray((ed // pdim).astype(np.int32)),
+                    ed_comp=jnp.asarray((ed % pdim).astype(np.int32)),
+                )
+            del A_csr
         if target is not None and target.platform != "cpu":
             cache = jax.device_put(cache, target)
             fop64 = jax.device_put(fop64, target)
@@ -880,7 +928,9 @@ def solve_step_matfree(
                     rep = NamedSharding(sharded_op.mesh, _P())
                     ops_src = {
                         k: jax.device_put(v, rep)
-                        for k, v in amg_ops.items() if k != "fop"
+                        for k, v in amg_ops.items()
+                        if k not in ("fop", "fop_cm", "mf_cm", "keep_cm",
+                                     "ed_node", "ed_comp")
                     }
                     sharded_op._mf_cache_rep = ops_src
             ke32 = _coh_ke(
@@ -891,11 +941,21 @@ def solve_step_matfree(
             ops = dict(ops_src, ke=ke32)
             ops.pop("ecoords32")
             ops.pop("props32")
+            use_cm = sharded_op is None and "fop_cm" in ops
             if sharded_op is not None:
                 ops.pop("fop", None)
                 ops["blocks"] = _sharded_blocks32(sharded_op)
                 mv_fn, pc_fn = _sharded_mv_pc(sharded_op)
+            elif use_cm:
+                # lattice tier: component-major state end-to-end through
+                # the chunked CG (gather-free elastic block stencil); one
+                # eager transpose per solve at the boundary
+                ops.pop("fop", None)
+                mv_fn, pc_fn = _mf_jac_mv_cm, _mf_amg_pc_cm
             else:
+                for k in ("fop_cm", "mf_cm", "keep_cm", "ed_node",
+                          "ed_comp"):
+                    ops.pop(k, None)
                 mv_fn, pc_fn = _mf_jac_mv, _mf_amg_pc
             # Clamp the Eisenstat–Walker tolerance to what the f32 inner
             # solve can actually deliver (recurrence drift floors the true
@@ -906,11 +966,26 @@ def solve_step_matfree(
             # the f64 outer residual keeps the final accuracy.
             inner_eff = max(inner_rtol, 3e-5)
             gate_rtol = inner_eff
-            res = cg_mod.pcg_chunked(
-                mv_fn, rhs.astype(jnp.float32), pc_fn, ops,
-                rtol=inner_eff, maxiter=200, chunk=2,
-            )
-            delta = res.x.astype(rhs.dtype)
+            nnds_cm = n // system.pdim
+
+            def _solve32(rflat, cap):
+                """One f32 chunked AMG-CG solve of J delta = rflat, flat
+                in/out; cm conversions at the boundary on the lattice
+                tier."""
+                if use_cm:
+                    rcm = rflat.astype(jnp.float32).reshape(
+                        nnds_cm, system.pdim).T
+                    res_ = cg_mod.pcg_chunked(
+                        mv_fn, rcm, pc_fn, ops,
+                        rtol=inner_eff, maxiter=cap, chunk=2)
+                    return res_.x.T.reshape(-1), res_
+                res_ = cg_mod.pcg_chunked(
+                    mv_fn, rflat.astype(jnp.float32), pc_fn, ops,
+                    rtol=inner_eff, maxiter=cap, chunk=2)
+                return res_.x, res_
+
+            x32, res = _solve32(rhs, 200)
+            delta = x32.astype(rhs.dtype)
         else:
             res = cg_mod.pcg(
                 mv, rhs, diag=jnp.abs(jacobi_diag(du)),
@@ -947,12 +1022,9 @@ def solve_step_matfree(
             for _ in range(2):
                 if not np.isfinite(rel) or rel <= 10.0 * gate_rtol:
                     break
-                corr = cg_mod.pcg_chunked(
-                    mv_fn, r2.astype(jnp.float32), pc_fn, ops,
-                    rtol=inner_eff, maxiter=100, chunk=2,
-                )
+                corr32, _ = _solve32(r2, 100)
                 delta = jnp.where(bc_mask, 0.0,
-                                  delta + corr.x.astype(rhs.dtype))
+                                  delta + corr32.astype(rhs.dtype))
                 r2, true_res = true_resid(delta)
                 rel = true_res / max(rhs_norm, 1e-300)
         used_gmres = False

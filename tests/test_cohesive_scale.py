@@ -119,3 +119,30 @@ def test_matfree_amg_hierarchy_cached(monkeypatch):
                                    system.rhs(0.5))
     assert r2.converged
     assert calls["n"] == 1
+
+
+def test_cm_jac_matvec_matches_flat():
+    """The component-major lattice-tier jac matvec (_mf_jac_mv_cm: block
+    stencil + (comp, node) cohesive scatter) equals the flat fused-gather
+    one on the same tangent."""
+    from fem_tpu.solver import newton
+
+    p = meshgen.cohesive_interface_problem(6, 3, open_disp=0.004, t=1.0,
+                                           dt=0.5)
+    system = System(p)
+    cache = newton._matfree_amg_cache(system)
+    assert "fop_cm" in cache, "strip should embed in a lattice"
+    e = system.blocks["coh"]
+    rng = np.random.default_rng(0)
+    u = jnp.asarray(rng.standard_normal(system.ndof) * 1e-3, jnp.float32)
+    ke32 = newton._coh_ke(cache["ecoords32"], cache["props32"],
+                          np.asarray(e["edofs"]), jnp.asarray(
+                              system.dt, jnp.float32), u, quirks=False)
+    ops = dict(cache, ke=ke32)
+    v = jnp.asarray(rng.standard_normal(system.ndof), jnp.float32)
+    flat = np.asarray(newton._mf_jac_mv(ops, v))
+    pdim = system.pdim
+    v_cm = v.reshape(-1, pdim).T
+    cm = np.asarray(newton._mf_jac_mv_cm(ops, v_cm)).T.reshape(-1)
+    np.testing.assert_allclose(cm, flat, rtol=1e-5,
+                               atol=1e-5 * np.abs(flat).max())
