@@ -497,11 +497,13 @@ def run(
                         "hier": hier_i}
 
                 @jax.jit
-                def _htrue(vals, a, b_, Fv, x):
-                    keep = 1.0 - mf_cm64
+                def _htrue(vals, a, b_, mfc, Fv, x):
+                    # mask rides as an ARGUMENT (ndof-sized closure
+                    # constants are the documented relay-413 risk)
+                    keep = 1.0 - mfc
                     ob = bs_mod.halo_matvec_g(
                         opp, vals, _cm2b(x * keep), dev_mesh, a, b_)
-                    ax_ = _b2cm(ob) * keep + x * mf_cm64
+                    ax_ = _b2cm(ob) * keep + x * mfc
                     return Fv - ax_
 
                 def _cg_solve(op_unused, F, dg_unused, bc_dofs, bc_vals,
@@ -528,7 +530,7 @@ def run(
                     inner_total = 0
                     rn = r0n
                     for _ in range(12):
-                        r = _htrue(vals_b64, ml64, mr64, b, x)
+                        r = _htrue(vals_b64, ml64, mr64, mf_cm64, b, x)
                         rn = float(jnp.sqrt(jnp.sum(r * r)))
                         if rn <= the_rtol * r0n or inner_total >= budget:
                             break
@@ -551,7 +553,7 @@ def run(
                         x = (x + res.x.astype(dtype)) * keep \
                             + ubc_cm * mf_cm64
                         if not use_ir:
-                            r = _htrue(vals_b64, ml64, mr64, b, x)
+                            r = _htrue(vals_b64, ml64, mr64, mf_cm64, b, x)
                             rn = float(jnp.sqrt(jnp.sum(r * r)))
                             break
                     return cg.CGResult(
