@@ -178,12 +178,15 @@ def _chunk_programs(matvec, precond, chunk):
     Keyed on the function objects + chunk so the expensive trace+compile
     happens once per operator pair, not once per solve. Production callers
     pass MODULE-LEVEL functions (stable identity -> cross-run reuse);
-    per-run closures still work but re-trace. The cache is bounded (FIFO
-    eviction) so closure-keyed entries cannot pin compiled executables and
-    their closed-over hierarchies forever (ADVICE r2)."""
+    per-run closures still work but re-trace. The cache is bounded with
+    LRU eviction (a hit refreshes the key) so closure-keyed entries cannot
+    pin compiled executables and their closed-over hierarchies forever
+    (ADVICE r2), while hot module-level programs survive accumulated
+    per-run closure keys."""
     key = (matvec, precond, chunk)
     cached = _CHUNK_PROGRAMS.get(key)
     if cached is not None:
+        _CHUNK_PROGRAMS[key] = _CHUNK_PROGRAMS.pop(key)  # LRU refresh
         return cached
     while len(_CHUNK_PROGRAMS) >= _CHUNK_PROGRAMS_MAX:
         _CHUNK_PROGRAMS.pop(next(iter(_CHUNK_PROGRAMS)))

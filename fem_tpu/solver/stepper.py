@@ -101,6 +101,46 @@ def _lattice_csr(system, n):
     return A, bs_mod.detect(A, system.pdim, n // system.pdim)
 
 
+def _ir_outer(true_resid, inner, combine, b, x, the_rtol, budget, use_ir):
+    """The f64/f32 iterative-refinement outer loop, shared by every solver
+    branch (structured grid-shaped, unstructured component-major, halo
+    DOF-sharded, element-sharded) — mirroring the f64 accuracy MUMPS
+    delivers on any mesh (main.F90:354-390) at f32 inner speed.
+
+    `true_resid(b, x) -> r` and `combine(x, dx) -> x` operate on the
+    branch's native solver-state shape (grid / component-major / flat);
+    `inner(r, cyc_rtol, cap) -> (dx, iters)` runs one chunked inner solve
+    in the inner dtype. Per-cycle tolerance asks only for the REMAINING
+    reduction, floored at 1e-5 (f32 CG's reliable single-cycle reach) —
+    the last cycle otherwise overshoots ~100x in wasted iterations. With
+    `use_ir=False` (f32 config) one inner call at the target rtol is made
+    and the loop exits with the measured true residual.
+
+    Returns (x, inner_total, rn)."""
+    r0n = max(float(jnp.sqrt(jnp.sum(b * b))), 1e-300)
+    inner_total = 0
+    rn = r0n
+    for _ in range(12):
+        r = true_resid(b, x)
+        rn = float(jnp.sqrt(jnp.sum(r * r)))
+        if rn <= the_rtol * r0n or inner_total >= budget:
+            break
+        if use_ir:
+            cyc_rtol = float(np.clip(0.5 * the_rtol * r0n / rn, 1e-5, 0.5))
+            cap = min(120, budget - inner_total)
+        else:
+            cyc_rtol = the_rtol * r0n / rn
+            cap = budget - inner_total
+        dx, iters = inner(r, cyc_rtol, cap)
+        inner_total += int(iters)
+        x = combine(x, dx)
+        if not use_ir:
+            r = true_resid(b, x)
+            rn = float(jnp.sqrt(jnp.sum(r * r)))
+            break
+    return x, inner_total, rn
+
+
 @dataclasses.dataclass
 class StepResult:
     aggregate_u: np.ndarray  # (ndof,)
@@ -229,6 +269,17 @@ def run(
 
             rtol, atol, maxiter = config.rtol, config.atol, config.maxiter
             spec = structured.detect(problem)
+
+            _lat_memo = {}
+
+            def _lat_info():
+                """Memoized (A_csr, lattice_dims_or_None) — evaluated in
+                the branch-chain condition below and reused by whichever
+                multi-device AMG branch is taken (no cross-branch variable
+                coupling)."""
+                if "v" not in _lat_memo:
+                    _lat_memo["v"] = _lattice_csr(system, n)
+                return _lat_memo["v"]
             if spec is not None:
                 # Structured box grid: stencil operator + geometric multigrid,
                 # host-driven CG (lax loops around V-cycles miscompile on the
@@ -370,25 +421,25 @@ def run(
                                 if x0 is not None else ubc_g
                             )
                             # config.maxiter = TOTAL inner-iteration budget
-                            # across refinement cycles (<=120 per cycle at
-                            # fixed inner rtol 1e-5)
+                            # across refinement cycles (<=120 per cycle)
                             budget = maxiter if maxiter else 600
-                            r0n = max(float(jnp.sqrt(jnp.sum(b * b))), 1e-300)
-                            inner_total = 0
-                            rn = r0n
-                            for _ in range(12):
-                                r = _st_true_resid_g(st_p, b, mf_g, x)
-                                rn = float(jnp.sqrt(jnp.sum(r * r)))
-                                if rn <= the_rtol * r0n or inner_total >= budget:
-                                    break
+
+                            def _inner(r, cyc_rtol, cap):
                                 res = cg.pcg_chunked(
-                                    _st_mv_g, r.astype(inner_dtype), _st_pc_g,
-                                    st_ops, rtol=1e-5,
-                                    maxiter=min(120, budget - inner_total),
-                                    chunk=2,
+                                    _st_mv_g, r.astype(inner_dtype),
+                                    _st_pc_g, st_ops, rtol=cyc_rtol,
+                                    maxiter=cap, chunk=2,
                                 )
-                                inner_total += int(res.iters)
-                                x = (x + res.x.astype(dtype)) * keep + ubc_g * mf_g
+                                return res.x, res.iters
+
+                            x, inner_total, rn = _ir_outer(
+                                lambda bb, xx: _st_true_resid_g(
+                                    st_p, bb, mf_g, xx),
+                                _inner,
+                                lambda xx, dx: (xx + dx.astype(dtype))
+                                * keep + ubc_g * mf_g,
+                                b, x, the_rtol, budget, True,
+                            )
                             return cg.CGResult(
                                 x=x.reshape(-1),
                                 iters=jnp.asarray(inner_total),
@@ -422,7 +473,7 @@ def run(
                 op = diag = None
             elif (dev_mesh is not None
                   and config.resolve_precond(n) == "amg"
-                  and (_lat := _lattice_csr(system, n))[1] is not None):
+                  and _lat_info()[1] is not None):
                 # Lattice-topology deck over multiple devices: DOF-sharded
                 # slab layout (VERDICT r2 weak #6 — the element-sharded
                 # path psums a full O(ndof) vector per matvec; here every
@@ -436,7 +487,7 @@ def run(
                 from fem_tpu.ops import blockstencil as bs_mod
                 from fem_tpu.solver import amg as amg_mod
 
-                A_csr, halo_dims = _lat
+                A_csr, halo_dims = _lat_info()
                 log("    Lattice topology: DOF-sharded halo block stencil")
                 use_ir = jnp.dtype(dtype) == jnp.dtype(jnp.float64)
                 if use_ir:
@@ -458,8 +509,13 @@ def run(
                 shd = NamedSharding(dev_mesh, JP(ax0))
                 vals_b64 = jax.device_put(bs_mod.vals_to_slabs(opp, nd_),
                                           shd)
-                vals_bi = jax.device_put(bs_mod.vals_to_slabs(opp_i, nd_),
-                                         shd)
+                # f32 configs: inner == outer operator; don't hold the
+                # 27*pdim^2-block coefficient array in HBM twice
+                vals_bi = (
+                    vals_b64 if not use_ir
+                    else jax.device_put(bs_mod.vals_to_slabs(opp_i, nd_),
+                                        shd)
+                )
                 ml64, mr64 = (jax.device_put(m, shd)
                               for m in bs_mod.halo_masks(nd_, dtype))
                 mli, mri = (jax.device_put(m, shd)
@@ -483,18 +539,22 @@ def run(
                         :, : halo_dims[0]].reshape(pdim_, -1)
 
                 def _hmv_i(ops_, v):
-                    keep = 1.0 - mf_cm_i
+                    # mask rides in the operand pytree, not as a closure
+                    # constant (ndof-sized HLO constants are the relay-413
+                    # risk, CLAUDE.md)
+                    mfc = ops_["mf"]
+                    keep = 1.0 - mfc
                     ob = bs_mod.halo_matvec_g(
                         opp_i, ops_["vals"], _cm2b(v * keep), dev_mesh,
                         ops_["ml"], ops_["mr"])
-                    return _b2cm(ob) * keep + v * mf_cm_i
+                    return _b2cm(ob) * keep + v * mfc
 
                 def _hpc(ops_, r):
                     return amg_mod.v_cycle_cm(
                         ops_["hier"], lambda v: _hmv_i(ops_, v), r)
 
                 hops = {"vals": vals_bi, "ml": mli, "mr": mri,
-                        "hier": hier_i}
+                        "hier": hier_i, "mf": mf_cm_i}
 
                 @jax.jit
                 def _htrue(vals, a, b_, mfc, Fv, x):
@@ -526,36 +586,22 @@ def run(
                         if x0 is not None else ubc_cm
                     )
                     budget = maxiter if maxiter else 600
-                    r0n = max(float(jnp.sqrt(jnp.sum(b * b))), 1e-300)
-                    inner_total = 0
-                    rn = r0n
-                    for _ in range(12):
-                        r = _htrue(vals_b64, ml64, mr64, mf_cm64, b, x)
-                        rn = float(jnp.sqrt(jnp.sum(r * r)))
-                        if rn <= the_rtol * r0n or inner_total >= budget:
-                            break
-                        # IR: per-cycle tolerance asks only for the
-                        # remaining reduction (1e-5 floor = f32 CG's
-                        # reliable single-cycle reach). Non-IR (f32
-                        # config): no floor — one call at the target rtol,
-                        # matching the single-device branch.
-                        cyc_rtol = (float(np.clip(
-                            0.5 * the_rtol * r0n / rn, 1e-5, 0.5))
-                            if use_ir else the_rtol * r0n / rn)
+
+                    def _inner(r, cyc_rtol, cap):
                         res = cg.pcg_chunked(
                             _hmv_i, r.astype(inner_dtype), _hpc, hops,
-                            rtol=cyc_rtol,
-                            maxiter=min(120 if use_ir else budget,
-                                        budget - inner_total),
-                            chunk=2,
+                            rtol=cyc_rtol, maxiter=cap, chunk=2,
                         )
-                        inner_total += int(res.iters)
-                        x = (x + res.x.astype(dtype)) * keep \
-                            + ubc_cm * mf_cm64
-                        if not use_ir:
-                            r = _htrue(vals_b64, ml64, mr64, mf_cm64, b, x)
-                            rn = float(jnp.sqrt(jnp.sum(r * r)))
-                            break
+                        return res.x, res.iters
+
+                    x, inner_total, rn = _ir_outer(
+                        lambda bb, xx: _htrue(
+                            vals_b64, ml64, mr64, mf_cm64, bb, xx),
+                        _inner,
+                        lambda xx, dx: (xx + dx.astype(dtype)) * keep
+                        + ubc_cm * mf_cm64,
+                        b, x, the_rtol, budget, use_ir,
+                    )
                     return cg.CGResult(
                         x=x.T.reshape(-1),
                         iters=jnp.asarray(inner_total),
@@ -590,16 +636,24 @@ def run(
                         log("    f64/f32 iterative refinement "
                             "(chunked AMG-CG inner)")
                     inner_dtype = jnp.float32 if use_ir else dtype
-                    # _lat was bound by the preceding halo-branch condition
-                    # (same precond==amg guard); reuse its assembled CSR
-                    # instead of re-assembling inside build
+                    # the preceding halo-branch condition already assembled
+                    # the CSR (same precond==amg guard) — _lat_memo is a hit
                     hier_i = amg_mod.build(system, system.bc_dofs,
                                            dtype=inner_dtype,
-                                           coarse_max=20000, A=_lat[0])
+                                           coarse_max=20000,
+                                           A=_lat_info()[0])
+                    pdim_ = system.pdim
+                    nnds_ = n // pdim_
                     bc_np = np.zeros(n, dtype=bool)
                     bc_np[np.asarray(system.bc_dofs)] = True
-                    mf64 = jnp.asarray(bc_np, dtype=dtype)
-                    mf_i = jnp.asarray(bc_np, dtype=inner_dtype)
+                    # (nnds, pdim)-shaped float masks, precomputed eagerly:
+                    # solver state stays 2-D through the fused chunk
+                    # programs (flat elementwise combines on matvec outputs
+                    # are TPU miscompile #5, CLAUDE.md), and the masks ride
+                    # the operand pytree, not closures (relay-413 risk)
+                    bc2 = bc_np.reshape(nnds_, pdim_)
+                    mf64_2 = jnp.asarray(bc2, dtype=dtype)
+                    mf_i2 = jnp.asarray(bc2, dtype=inner_dtype)
 
                     def _cast_block(b):
                         return op_fused.FusedBlock(
@@ -617,61 +671,71 @@ def run(
 
                     # per-run closures: the shard_map'd matvec (bound to the
                     # device mesh) cannot ride in the operand pytree; the
-                    # bounded chunk-program cache absorbs the per-run traces
-                    def _smv(ops_, v):
-                        blocks, _ = ops_
-                        keep = 1.0 - mf_i
-                        return (
-                            sop.matvec(v * keep, blocks=blocks) * keep
-                            + v * mf_i
-                        )
+                    # bounded chunk-program cache absorbs the per-run
+                    # traces. Solver state is (nnds, pdim) 2-D (a free
+                    # bitcast of the flat dof vector) so every elementwise
+                    # combine on a matvec OUTPUT is non-flat — TPU
+                    # miscompile #5 corrupts flat combines at >=1.59M dofs.
+                    def _smv(ops_, v2):
+                        mfc = ops_["mf"]
+                        keep = 1.0 - mfc
+                        av = sop.matvec((v2 * keep).reshape(-1),
+                                        blocks=ops_["blocks"])
+                        return (av.reshape(v2.shape) * keep + v2 * mfc)
 
-                    def _spc(ops_, r):
-                        _, h = ops_
-                        return amg_mod.v_cycle(h, lambda v: _smv(ops_, v), r)
+                    def _spc(ops_, r2):
+                        return amg_mod.v_cycle(
+                            ops_["hier"],
+                            lambda v: _smv(ops_, v.reshape(r2.shape)
+                                           ).reshape(-1),
+                            r2.reshape(-1),
+                        ).reshape(r2.shape)
 
                     @jax.jit
-                    def _strue(blocks, b, x):
-                        keep = 1.0 - mf64
-                        ax = (
-                            sop.matvec(x * keep, blocks=blocks) * keep
-                            + x * mf64
-                        )
-                        return b - ax
+                    def _strue(blocks, mfc, b2, x2):
+                        keep = 1.0 - mfc
+                        av = sop.matvec((x2 * keep).reshape(-1),
+                                        blocks=blocks)
+                        return b2 - (av.reshape(x2.shape) * keep + x2 * mfc)
 
-                    sops_i = (blocks_i, hier_i)
+                    sops_i = {"blocks": blocks_i, "hier": hier_i,
+                              "mf": mf_i2}
 
                     def _cg_solve(op_unused, F, dg_unused, bc_dofs, bc_vals,
                                   x0):
                         ubc = jnp.zeros(n, dtype=dtype).at[bc_dofs].set(
                             bc_vals
                         )
-                        keep = 1.0 - mf64
-                        b = (F - sop.matvec(ubc)) * keep + ubc * mf64
+                        ubc2 = ubc.reshape(nnds_, pdim_)
+                        keep = 1.0 - mf64_2
+                        b = (
+                            (F - sop.matvec(ubc)).reshape(nnds_, pdim_)
+                            * keep + ubc2 * mf64_2
+                        )
                         the_rtol = rtol if rtol else 1e-9
                         x = (
-                            x0 * keep + ubc * mf64
-                            if x0 is not None else ubc
+                            x0.reshape(nnds_, pdim_) * keep + ubc2 * mf64_2
+                            if x0 is not None else ubc2
                         )
                         budget = maxiter if maxiter else 600
-                        r0n = max(float(jnp.sqrt(jnp.sum(b * b))), 1e-300)
-                        inner_total = 0
-                        rn = r0n
-                        for _ in range(12):
-                            r = _strue(sop.blocks, b, x)
-                            rn = float(jnp.sqrt(jnp.sum(r * r)))
-                            if rn <= the_rtol * r0n or inner_total >= budget:
-                                break
+
+                        def _inner(r, cyc_rtol, cap):
                             res = cg.pcg_chunked(
                                 _smv, r.astype(inner_dtype), _spc, sops_i,
-                                rtol=1e-5 if use_ir else the_rtol,
-                                maxiter=min(120, budget - inner_total),
-                                chunk=2,
+                                rtol=cyc_rtol, maxiter=cap, chunk=2,
                             )
-                            inner_total += int(res.iters)
-                            x = (x + res.x.astype(dtype)) * keep + ubc * mf64
+                            return res.x, res.iters
+
+                        x, inner_total, rn = _ir_outer(
+                            lambda bb, xx: _strue(
+                                sop.blocks, mf64_2, bb, xx),
+                            _inner,
+                            lambda xx, dx: (xx + dx.astype(dtype)) * keep
+                            + ubc2 * mf64_2,
+                            b, x, the_rtol, budget, use_ir,
+                        )
                         return cg.CGResult(
-                            x=x, iters=jnp.asarray(inner_total),
+                            x=x.reshape(-1), iters=jnp.asarray(inner_total),
                             resnorm=jnp.asarray(rn),
                         )
 
@@ -751,24 +815,23 @@ def run(
                         )
                         # config.maxiter = TOTAL inner budget across cycles
                         budget = maxiter if maxiter else 600
-                        r0n = max(float(jnp.sqrt(jnp.sum(b * b))), 1e-300)
-                        inner_total = 0
-                        rn = r0n
-                        for _ in range(12):
-                            r = _amg_true_resid_cm(op, b, mf_cm, x)
-                            rn = float(jnp.sqrt(jnp.sum(r * r)))
-                            if rn <= the_rtol * r0n or inner_total >= budget:
-                                break
-                            cyc_rtol = float(np.clip(
-                                0.5 * the_rtol * r0n / rn, 1e-5, 0.5))
+
+                        def _inner(r, cyc_rtol, cap):
                             res = cg.pcg_chunked(
                                 _amg_mv_cm, r.astype(inner_dtype),
                                 _amg_pc_cm, amg_ops, rtol=cyc_rtol,
-                                maxiter=min(120, budget - inner_total),
-                                chunk=2,
+                                maxiter=cap, chunk=2,
                             )
-                            inner_total += int(res.iters)
-                            x = (x + res.x.astype(dtype)) * keep + ubc_cm * mf_cm
+                            return res.x, res.iters
+
+                        x, inner_total, rn = _ir_outer(
+                            lambda bb, xx: _amg_true_resid_cm(
+                                op, bb, mf_cm, xx),
+                            _inner,
+                            lambda xx, dx: (xx + dx.astype(dtype)) * keep
+                            + ubc_cm * mf_cm,
+                            b, x, the_rtol, budget, True,
+                        )
                         return cg.CGResult(
                             x=x.T.reshape(-1),
                             iters=jnp.asarray(inner_total),

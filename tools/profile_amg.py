@@ -140,9 +140,10 @@ def main():
     # coarse hierarchy below the fine level (levels 1..): the _v recursion
     @jax.jit
     def coarse(h, rc):
+        # _lv_matvec dispatches ELL vs densified mid-level (ell_vals is
+        # empty (0,0) when the level is stored dense)
         nxt = h.levels[1]
-        return amg._v(h, 1, lambda v: amg._ell_matvec(
-            nxt.ell_vals, nxt.ell_cols, v), rc)
+        return amg._v(h, 1, lambda v: amg._lv_matvec(nxt, v), rc)
 
     if len(h.levels) > 1:
         rec("coarse_cycle", timeit(lambda r: coarse(h, r), rc))

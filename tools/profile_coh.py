@@ -41,4 +41,8 @@ h = ops["hier"]
 print(f"levels: fine + {len(h.levels)} ELL + dense {h.coarse_inv.shape}",
       flush=True)
 for i, lv in enumerate(h.levels):
-    print(f"  L{i+1}: n={lv.vals.shape[0]} w={lv.vals.shape[1]}", flush=True)
+    if lv.dense_op.shape[0] > 0:
+        print(f"  L{i+1}: dense {lv.dense_op.shape}", flush=True)
+    else:
+        print(f"  L{i+1}: n={lv.ell_vals.shape[0]} "
+              f"w={lv.ell_vals.shape[1]}", flush=True)
