@@ -610,15 +610,149 @@ def run(
 
                 op = diag = None
             elif dev_mesh is not None:
-                # Unstructured deck over multiple devices: element-sharded
-                # fused operator (domain-decomposition DP, psum shared-dof
-                # reduction — SURVEY.md §2c). The sharded blocks are jit
-                # ARGUMENTS, not closure constants.
+                # Unstructured deck over multiple devices. Preferred tier:
+                # DOF-sharded halo-gather layout (general topology; four
+                # (pdim, B) ppermute bands per matvec — the distributed-Mat
+                # + VecScatter role, m_global.F90:549-564). Falls back to
+                # the element-sharded psum operator when the mesh has no
+                # slab locality (reach > slab) or is multi-block.
                 from fem_tpu.parallel import ShardedOperator
+                from fem_tpu.parallel import halo_gather as hg_mod
 
-                log("    Fused operator sharded over the device mesh")
-                sop = ShardedOperator(system, dev_mesh)
+                hg64 = hg_pos = None
                 if config.resolve_precond(n) == "amg":
+                    try:
+                        hg64, hg_pos = hg_mod.build(
+                            system, dev_mesh.devices.size)
+                    except ValueError as e:
+                        log(f"    (halo-gather layout unavailable: {e})")
+                if hg64 is not None:
+                    from fem_tpu.solver import amg as amg_mod
+
+                    nd_ = dev_mesh.devices.size
+                    pdim_ = system.pdim
+                    nnds_ = n // pdim_
+                    S_ = hg64.S
+                    nds_ = nd_ * S_
+                    log("    DOF-sharded halo-gather operator "
+                        f"(S={S_}, B={hg64.B})")
+                    log("    AMG preconditioner on the slab-permuted "
+                        "operator")
+                    use_ir = jnp.dtype(dtype) == jnp.dtype(jnp.float64)
+                    if use_ir:
+                        log("    f64/f32 iterative refinement "
+                            "(chunked AMG-CG inner)")
+                    inner_dtype = jnp.float32 if use_ir else dtype
+                    hg64 = hg_mod.device_put(hg64, dev_mesh)
+                    hgi = hg64.astype(inner_dtype) if use_ir else hg64
+                    # AMG hierarchy on the slab-PERMUTED matrix, so the
+                    # V-cycle runs directly on slab-ordered cm state (no
+                    # per-iteration permutation gathers)
+                    order_ = np.argsort(hg_pos)
+                    idx = (order_[:, None] * pdim_
+                           + np.arange(pdim_)[None, :]).reshape(-1)
+                    A_p = _lat_info()[0][idx][:, idx]
+                    bcd = np.asarray(system.bc_dofs)
+                    pos_dof = (hg_pos[bcd // pdim_] * pdim_
+                               + bcd % pdim_)
+
+                    class _PermView:
+                        """amg.build only reads .pdim and .problem.coords
+                        — feed it the slab-permuted versions."""
+
+                    pv = _PermView()
+                    pv.pdim = pdim_
+                    pv.problem = _PermView()
+                    pv.problem.coords = np.asarray(
+                        system.problem.coords)[order_]
+                    hier_i = amg_mod.build(pv, pos_dof, dtype=inner_dtype,
+                                           coarse_max=20000, A=A_p)
+                    # slab-ordered padded cm float masks, eager
+                    bc_pp = np.zeros((nds_, pdim_), dtype=bool)
+                    bc2 = np.zeros((nnds_, pdim_), dtype=bool)
+                    bc2[bcd // pdim_, bcd % pdim_] = True
+                    bc_pp[hg_pos] = bc2
+                    mfp64 = jnp.asarray(bc_pp.T, dtype=dtype)
+                    mfp_i = jnp.asarray(bc_pp.T, dtype=inner_dtype)
+                    npad_tail = nds_ - nnds_
+
+                    def _hgmv(ops_, vp):
+                        mfc = ops_["mf"]
+                        keep = 1.0 - mfc
+                        av = hg_mod.matvec_cm_sharded(
+                            ops_["op"], vp * keep, dev_mesh)
+                        return av * keep + vp * mfc
+
+                    def _hgpc(ops_, rp):
+                        # the hierarchy lives on the REAL (unpadded)
+                        # slab-ordered nodes; pad/slice at the boundary
+                        def mv_real(v):
+                            vp = jnp.pad(v, ((0, 0), (0, npad_tail)))
+                            return _hgmv(ops_, vp)[:, :nnds_]
+
+                        z = amg_mod.v_cycle_cm(ops_["hier"], mv_real,
+                                               rp[:, :nnds_])
+                        return jnp.pad(z, ((0, 0), (0, npad_tail)))
+
+                    hg_ops = {"op": hgi, "hier": hier_i, "mf": mfp_i}
+
+                    @jax.jit
+                    def _hgtrue(op_, mfc, b_, x_):
+                        keep = 1.0 - mfc
+                        av = hg_mod.matvec_cm_sharded(op_, x_ * keep,
+                                                      dev_mesh)
+                        return b_ - (av * keep + x_ * mfc)
+
+                    def _cg_solve(op_unused, F, dg_unused, bc_dofs,
+                                  bc_vals, x0):
+                        ubc = jnp.zeros(n, dtype=dtype).at[bc_dofs].set(
+                            bc_vals)
+                        ubc_p = hg_mod.to_padded_cm(ubc, hg_pos, nd_, S_,
+                                                    pdim_)
+                        keep = 1.0 - mfp64
+                        Fp = hg_mod.to_padded_cm(F, hg_pos, nd_, S_, pdim_)
+                        # UNMASKED K @ u_bc: the prescribed-displacement
+                        # lift rides the BC-column couplings
+                        k_ubc = hg_mod.matvec_cm_sharded(hg64, ubc_p,
+                                                         dev_mesh)
+                        b = (Fp - k_ubc) * keep + ubc_p * mfp64
+                        the_rtol = rtol if rtol else 1e-9
+                        x = (
+                            hg_mod.to_padded_cm(x0, hg_pos, nd_, S_, pdim_)
+                            * keep + ubc_p * mfp64
+                            if x0 is not None else ubc_p
+                        )
+                        budget = maxiter if maxiter else 600
+
+                        def _inner(r, cyc_rtol, cap):
+                            res = cg.pcg_chunked(
+                                _hgmv, r.astype(inner_dtype), _hgpc,
+                                hg_ops, rtol=cyc_rtol, maxiter=cap,
+                                chunk=2,
+                            )
+                            return res.x, res.iters
+
+                        x, inner_total, rn = _ir_outer(
+                            lambda bb, xx: _hgtrue(hg64, mfp64, bb, xx),
+                            _inner,
+                            lambda xx, dx: (xx + dx.astype(dtype)) * keep
+                            + ubc_p * mfp64,
+                            b, x, the_rtol, budget, use_ir,
+                        )
+                        return cg.CGResult(
+                            x=hg_mod.from_padded_cm(x, hg_pos, pdim_),
+                            iters=jnp.asarray(inner_total),
+                            resnorm=jnp.asarray(rn),
+                        )
+
+                    op = diag = None
+                elif config.resolve_precond(n) == "amg":
+                    # Element-sharded fused operator (domain-decomposition
+                    # DP, psum shared-dof reduction — SURVEY.md §2c); the
+                    # sharded blocks are jit ARGUMENTS, not closure
+                    # constants.
+                    log("    Fused operator sharded over the device mesh")
+                    sop = ShardedOperator(system, dev_mesh)
                     # Multi-device + strong preconditioner (VERDICT r2
                     # missing #3: --devices used to DOWNGRADE the algorithm
                     # from AMG to Jacobi). The V-cycle's fine-level smoother
@@ -741,6 +875,8 @@ def run(
 
                     op = diag = None
                 else:
+                    log("    Fused operator sharded over the device mesh")
+                    sop = ShardedOperator(system, dev_mesh)
                     op = sop.blocks
                     diag = sop.diag()
 

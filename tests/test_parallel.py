@@ -236,10 +236,11 @@ def test_stepper_devices_amg_ir_matches_single():
 
 
 def test_stepper_devices_amg_permuted_element_sharded():
-    """A genuinely unstructured deck (scrambled node numbering defeats
-    lattice detection) keeps the element-sharded AMG path: fine smoother
-    matvecs psum over the mesh, coarse levels replicated — same iteration
-    counts, same answer."""
+    """A deck with NO slab locality (tiny scrambled cube: element reach
+    exceeds the 8-way slab size, so the halo-gather layout refuses) falls
+    back to the element-sharded AMG path: fine smoother matvecs psum over
+    the mesh, coarse levels replicated — same iteration counts, same
+    answer."""
     p = meshgen.permute_nodes(
         meshgen.hex_box_problem(5, 5, 5, jitter=0.25, t=1.0, dt=0.5),
         seed=3)
@@ -284,3 +285,30 @@ def test_stepper_devices_cohesive_matches_single():
     scale = np.abs(ref.aggregate_u).max()
     np.testing.assert_allclose(shd.aggregate_u, ref.aggregate_u,
                                atol=1e-8 * scale)
+
+
+def test_stepper_devices_amg_halo_gather_general_topology():
+    """A genuinely unstructured deck LARGE enough for slab locality
+    (element reach B < slab size S) takes the DOF-sharded halo-gather
+    route: banded ppermute exchange instead of an O(ndof) psum, AMG on
+    the slab-permuted operator. The aggregation order differs from the
+    single-device hierarchy, so only the SOLUTION is asserted exactly;
+    iteration counts must stay in the same ballpark (same algorithm
+    class)."""
+    p = meshgen.permute_nodes(
+        meshgen.hex_box_problem(24, 5, 5, jitter=0.2, t=1.0, dt=1.0),
+        seed=3)
+    from fem_tpu.ops import structured
+
+    assert structured.detect(p) is None
+    msgs = []
+    ref = stepper.run(p, Config(solver="cg", precond="amg"))
+    shd = stepper.run(p, Config(solver="cg", precond="amg", n_devices=8),
+                      log=msgs.append)
+    assert any("DOF-sharded halo-gather operator" in m for m in msgs)
+    assert any("iterative refinement" in m for m in msgs)
+    tot_ref = sum(ref.krylov_iters)
+    tot_shd = sum(shd.krylov_iters)
+    assert tot_shd <= 2 * tot_ref + 4, (shd.krylov_iters, ref.krylov_iters)
+    np.testing.assert_allclose(shd.aggregate_u, ref.aggregate_u,
+                               atol=1e-9 * np.abs(ref.aggregate_u).max())
