@@ -593,7 +593,44 @@ def bench_operators(n=64, iters=30):
             pass
 
 
+def _preflight_tpu(cap_s: float, probe_every: float = 90.0) -> bool:
+    """Bounded wait for a healthy TPU before the headline measurement.
+
+    The axon worker wedges for 30-120+ min after heavy sessions
+    (CLAUDE.md); if the driver's bench lands inside such a window the
+    round's artifact would record a spurious zero. Probe with a tiny
+    matmul in a KILLED subprocess (a hung in-process client cannot be
+    interrupted and can extend the wedge) until it succeeds or the cap
+    expires. Returns True when the probe passed."""
+    import subprocess
+    import time as _time
+
+    probe = ("import jax, jax.numpy as jnp; "
+             "print(float(jnp.sum(jnp.ones((128,128))@jnp.ones((128,128)))))")
+    t0 = _time.monotonic()
+    while True:
+        try:
+            r = subprocess.run(
+                [sys.executable, "-c", probe], capture_output=True,
+                timeout=probe_every, text=True,
+            )
+            if r.returncode == 0 and "16384" in r.stdout:
+                return True
+        except subprocess.TimeoutExpired:
+            pass
+        waited = _time.monotonic() - t0
+        if waited >= cap_s:
+            log(f"preflight: TPU still unresponsive after {waited:.0f}s; "
+                "proceeding (headline watchdog will cap the attempt)")
+            return False
+        log(f"preflight: TPU unresponsive ({waited:.0f}s); retrying")
+        _time.sleep(min(probe_every, cap_s - waited))
+
+
 def main():
+    cap = float(os.environ.get("FEM_TPU_BENCH_PREFLIGHT", "1500"))
+    if cap > 0:
+        _preflight_tpu(cap)
     baseline, how = measure_reference_baseline()
     log(f"reference 64-core baseline: {baseline:.3e} elems/sec ({how})")
     # Watchdog on the headline measurement: a wedged TPU worker (this
