@@ -496,21 +496,33 @@ def _dense_inv(Kc):
             print(f"[amg] device coarse inverse failed ({e!r}); "
                   "falling back to host f64 LAPACK",
                   file=sys.stderr, flush=True)
-    inv = None
     try:
-        # SPD fast path: Cholesky-based inverse (potrf+potri) is ~2x the
-        # LU route np.linalg.inv takes; matters on the 1-core host
+        # SPD fast path: Cholesky-based inverse (potrf+potri) is ~3.5x the
+        # LU route np.linalg.inv takes at n=8000; matters on the 1-core
+        # host. potri fills only the lower triangle — mirror it in place
+        # panel-wise (one tril/transpose temp chain cost ~20 s at n=9504).
         from scipy.linalg.lapack import dpotrf, dpotri
 
         c, info = dpotrf(Kc, lower=1, overwrite_a=0)
         if info == 0:
             x, info2 = dpotri(c, lower=1, overwrite_c=1)
             if info2 == 0:
-                inv = x + np.tril(x, -1).T  # potri fills one triangle
+                bs = 2048
+                for j0 in range(0, n, bs):
+                    j1 = min(j0 + bs, n)
+                    if j0:
+                        x[:j0, j0:j1] = x[j0:j1, :j0].T
+                    blk = x[j0:j1, j0:j1]
+                    lo = np.tril(blk)
+                    blk[:] = lo + np.tril(blk, -1).T
+                if n >= 4096:
+                    print(f"[amg] dense coarse inverse n={n}: host f64 "
+                          f"chol, {_time.perf_counter() - t0:.1f}s",
+                          file=sys.stderr, flush=True)
+                return x  # exactly symmetric by construction
     except Exception:
-        inv = None
-    if inv is None:
-        inv = np.linalg.inv(Kc)
+        pass
+    inv = np.linalg.inv(Kc)
     if n >= 4096:
         print(f"[amg] dense coarse inverse n={n}: host f64 LAPACK, "
               f"{_time.perf_counter() - t0:.1f}s",
