@@ -239,3 +239,18 @@ def test_dense_mid_level_matches_ell_cycle():
     z2 = np.asarray(amg.v_cycle(h_den, fine_mv, r))
     np.testing.assert_allclose(z1, z2, rtol=1e-10,
                                atol=1e-10 * np.abs(z1).max())
+
+
+def test_dense_inv_exact_inverse():
+    """_dense_inv's host Cholesky (potrf+potri + in-place panel mirror,
+    panels of 2048) must return the exact symmetric inverse — including
+    the cross-panel and diagonal-block upper triangles potri leaves
+    unfilled — across the panel boundary sizes."""
+    rng = np.random.default_rng(0)
+    for n in (64, 2047, 2048, 2049, 2500):
+        M = rng.standard_normal((n, n))
+        S = M @ M.T + n * np.eye(n)
+        X = amg._dense_inv(S)
+        assert np.array_equal(np.asarray(X), np.asarray(X).T)
+        resid = np.abs(np.asarray(X) @ S - np.eye(n)).max()
+        assert resid < 1e-9, (n, resid)
