@@ -455,6 +455,7 @@ def bench_cohesive_solve(nx=None, ny_half=None):
         "metric": "cohesive_newton_solve_wall", "value": round(dtw, 3),
         "unit": "s", "ndof": p.ndof, "nsteps": res.nsteps,
         "newton_iters": int(sum(res.newton_iters)),
+        "inner_cg_iters": int(sum(res.krylov_iters)),
         "gmres_fallbacks": int(sum(res.gmres_fallbacks)),
         "cold_s": round(cold, 1),
     }

@@ -55,6 +55,9 @@ class NewtonResult(NamedTuple):
     # number of inner solves that used the GMRES indefinite-tangent fallback
     # (matfree path only; see solve_step_matfree)
     gmres_fallbacks: int = 0
+    # total inner Krylov iterations across all Newton iterations
+    # (matfree path only; the reference's KSP iteration telemetry role)
+    inner_iters: int = 0
 
 
 def solve_step(
@@ -986,6 +989,7 @@ def solve_step_matfree(
 
             x32, res = _solve32(rhs, 200)
             delta = x32.astype(rhs.dtype)
+            inner_iters = int(res.iters)
         else:
             res = cg_mod.pcg(
                 mv, rhs, diag=jnp.abs(jacobi_diag(du)),
@@ -993,6 +997,7 @@ def solve_step_matfree(
             )
             indefinite = bool(res.indefinite)
             delta = res.x
+            inner_iters = int(res.iters)
         rhs_norm = float(jnp.linalg.norm(rhs))
         delta = jnp.where(bc_mask, 0.0, delta)
         # Trust nothing CG claims on an indefinite system: check negative
@@ -1022,7 +1027,8 @@ def solve_step_matfree(
             for _ in range(2):
                 if not np.isfinite(rel) or rel <= 10.0 * gate_rtol:
                     break
-                corr32, _ = _solve32(r2, 100)
+                corr32, corr_res = _solve32(r2, 100)
+                inner_iters += int(corr_res.iters)
                 delta = jnp.where(bc_mask, 0.0,
                                   delta + corr32.astype(rhs.dtype))
                 r2, true_res = true_resid(delta)
@@ -1044,7 +1050,8 @@ def solve_step_matfree(
             if np.isfinite(grel) and grel < rel:
                 delta = jnp.where(bc_mask, 0.0, gres.x)
                 used_gmres = True
-        return delta, used_gmres
+                inner_iters += int(gres.iters)
+        return delta, used_gmres, inner_iters
 
     def line_search(du, delta, rnorm):
         lam = 1.0
@@ -1074,15 +1081,17 @@ def solve_step_matfree(
     prev_rnorm = None
     iters = 0
     fallbacks = 0
+    inner_total = 0
     converged = rnorm <= tol
     while not converged and iters < config.newton_maxit:
         if ew and prev_rnorm is not None and prev_rnorm > 0.0:
             inner_rtol = min(0.5, max(1e-6, 0.9 * (rnorm / prev_rnorm) ** 2))
         else:
             inner_rtol = 1e-4 if ew else 1e-6
-        delta, used_gmres = inner_solve(du, R, inner_rtol)
+        delta, used_gmres, n_inner = inner_solve(du, R, inner_rtol)
+        inner_total += n_inner
         log(f"newton it {iters}: inner done (rtol {inner_rtol:.1e}, "
-            f"gmres={used_gmres})")
+            f"cg_iters={n_inner}, gmres={used_gmres})")
         best_lam = line_search(du, delta, rnorm)
         if (
             best_lam is None
@@ -1121,7 +1130,7 @@ def solve_step_matfree(
             break
 
     return NewtonResult(du=du, iters=iters, resnorm=rnorm, converged=converged,
-                        gmres_fallbacks=fallbacks)
+                        gmres_fallbacks=fallbacks, inner_iters=inner_total)
 
 
 def _coh_diag(system: System, u_total, quirks: bool):

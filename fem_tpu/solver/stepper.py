@@ -1048,6 +1048,7 @@ def run(
                     )
             du = res.du
             newton_iters.append(res.iters)
+            krylov_iters.append(int(getattr(res, "inner_iters", 0)))
             gmres_fallbacks.append(int(getattr(res, "gmres_fallbacks", 0)))
             log(f"    SNES Iteration Count: {res.iters}")
         elif solver_kind == "direct":
