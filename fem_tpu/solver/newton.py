@@ -1082,17 +1082,28 @@ def solve_step_matfree(
     iters = 0
     fallbacks = 0
     inner_total = 0
+    # wall decomposition (host perf_counter; every phase below ends on a
+    # host float pull, so the boundaries are real device syncs) — the
+    # first on-chip run's log directly answers WHERE a cohesive solve's
+    # wall goes: inner Krylov vs line search vs f64 outer residuals
+    import time as _time
+
+    tw = {"inner": 0.0, "linesearch": 0.0, "residual": 0.0}
     converged = rnorm <= tol
     while not converged and iters < config.newton_maxit:
         if ew and prev_rnorm is not None and prev_rnorm > 0.0:
             inner_rtol = min(0.5, max(1e-6, 0.9 * (rnorm / prev_rnorm) ** 2))
         else:
             inner_rtol = 1e-4 if ew else 1e-6
+        _t0 = _time.perf_counter()
         delta, used_gmres, n_inner = inner_solve(du, R, inner_rtol)
+        tw["inner"] += _time.perf_counter() - _t0
         inner_total += n_inner
         log(f"newton it {iters}: inner done (rtol {inner_rtol:.1e}, "
             f"cg_iters={n_inner}, gmres={used_gmres})")
+        _t0 = _time.perf_counter()
         best_lam = line_search(du, delta, rnorm)
+        tw["linesearch"] += _time.perf_counter() - _t0
         if (
             best_lam is None
             and not used_gmres
@@ -1118,9 +1129,11 @@ def solve_step_matfree(
         step_norm = float(jnp.linalg.norm(du_new - du))
         du = du_new
         iters += 1
+        _t0 = _time.perf_counter()
         R = residual(du)
         prev_rnorm = rnorm
         rnorm = float(jnp.linalg.norm(R))
+        tw["residual"] += _time.perf_counter() - _t0
         log(f"newton it {iters}: rnorm={rnorm:.3e} lam={best_lam}")
         if rnorm <= tol:
             converged = True
@@ -1129,6 +1142,8 @@ def solve_step_matfree(
             converged = True
             break
 
+    log("newton wall: inner %.2fs, linesearch %.2fs, residual %.2fs"
+        % (tw["inner"], tw["linesearch"], tw["residual"]))
     return NewtonResult(du=du, iters=iters, resnorm=rnorm, converged=converged,
                         gmres_fallbacks=fallbacks, inner_iters=inner_total)
 
