@@ -55,7 +55,7 @@ def assemble_csr(system, dtype=np.float64):
     scalar COO->CSR, and the duplicate blocks collapse in one vectorized
     np.add.reduceat. The block rows then expand to scalar CSR through
     scipy's native bsr_tocsr. Measured at 527k dofs (166k hex8, 95.8M
-    scalar nnz) on this 1-core host: 79 s scalar COO path -> ~23 s.
+    scalar nnz) on this 1-core host: 79 s scalar COO path -> ~30 s.
     """
     import scipy.sparse as sp
 
