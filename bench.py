@@ -714,9 +714,12 @@ def main():
                 "cold-compile overrun)")
 
     if os.environ.get("FEM_TPU_BENCH_COH", "1") == "1":
-        # >=100k-dof cohesive instability deck under matrix-free Newton
+        # >=100k-dof cohesive instability deck under matrix-free Newton.
+        # Cap with 2x headroom over the measured cold+steady (711+19 s):
+        # a kill just before the steady record would lose the round's
+        # cohesive evidence for a few saved minutes.
         run_isolated("import bench; bench.bench_cohesive_solve()",
-                     "cohesive solve", 900)
+                     "cohesive solve", 1500)
     else:
         log("cohesive solve: skipped (FEM_TPU_BENCH_COH=0)")
     if os.environ.get("FEM_TPU_BENCH_AMG", "1") == "1":
