@@ -457,6 +457,10 @@ def bench_cohesive_solve(nx=None, ny_half=None):
         "newton_iters": int(sum(res.newton_iters)),
         "inner_cg_iters": int(sum(res.krylov_iters)),
         "gmres_fallbacks": int(sum(res.gmres_fallbacks)),
+        # pure Newton time within the wall (setup = System build + stress
+        # recovery + rhs is the rest; the AMG hierarchy is problem-cached
+        # so the steady run never rebuilds it)
+        "newton_s": round(res.timers.totals.get("newton", 0.0), 3),
         "cold_s": round(cold, 1),
     }
     log(json.dumps(rec))

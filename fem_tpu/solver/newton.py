@@ -660,8 +660,25 @@ def _matfree_amg_cache(system: System):
     K_el never changes across load steps, so rebuilding the hierarchy every
     step (tens of host seconds at 527k dofs) was pure waste (VERDICT r2
     weak #7; the reference instead refactorizes J with MUMPS every Newton
-    iteration, main.F90:365-371)."""
+    iteration, main.F90:365-371).
+
+    The cache is also seeded on the PROBLEM: the hierarchy depends only on
+    the mesh/materials/BCs (K_el) plus dt (the zero-opening cohesive
+    tangent's viscous term), so a second System over the same Problem —
+    repeated runs, parameter sweeps over load amplitude, warm/steady bench
+    pairs — reuses the hierarchy AND the already-device-resident arrays
+    (~250 MB through the ~40 MB/s relay at 105k dofs) instead of repaying
+    the full host setup + push (~21 s measured)."""
     cache = getattr(system, "_mf_amg32", None)
+    if cache is None:
+        pkey = (float(system.dt), str(system.dtype))
+        pc = getattr(system.problem, "_mf_amg32_pc", None)
+        if pc is not None and pc[0] == pkey:
+            cache, fop64 = pc[1], pc[2]
+            system._mf_amg32 = cache
+            if getattr(system, "_fused_op", None) is None:
+                system._fused_op = fop64
+            return cache
     if cache is None:
         from fem_tpu.ops import operator as op_mod
         from fem_tpu.solver import amg as amg_mod
@@ -779,6 +796,10 @@ def _matfree_amg_cache(system: System):
         if getattr(system, "_fused_op", None) is None:
             system._fused_op = fop64
         system._mf_amg32 = cache
+        try:
+            system.problem._mf_amg32_pc = (pkey, cache, fop64)
+        except (AttributeError, TypeError):
+            pass  # frozen/slotted Problem variants: System-level cache only
     return cache
 
 

@@ -121,6 +121,44 @@ def test_matfree_amg_hierarchy_cached(monkeypatch):
     assert calls["n"] == 1
 
 
+def test_matfree_amg_cache_reused_across_systems(monkeypatch):
+    """The hierarchy cache is seeded on the PROBLEM: a second System over
+    the same Problem (repeated runs, parameter sweeps) reuses the built —
+    and already device-resident — cache instead of repaying the host setup
+    plus the ~250 MB relay push (~21 s measured at 105k dofs). A different
+    dt must MISS (the zero-opening cohesive tangent depends on dt)."""
+    from fem_tpu.solver import amg as amg_mod
+    from fem_tpu.solver import newton
+
+    calls = {"n": 0}
+    real_build = amg_mod.build
+
+    def counting_build(*a, **k):
+        calls["n"] += 1
+        return real_build(*a, **k)
+
+    monkeypatch.setattr(amg_mod, "build", counting_build)
+    p = meshgen.cohesive_interface_problem(4, 2, open_disp=0.004, t=1.0,
+                                           dt=0.5)
+    s1 = System(p)
+    c1 = newton._matfree_amg_cache(s1)
+    s2 = System(p)
+    c2 = newton._matfree_amg_cache(s2)
+    assert c1 is c2
+    assert calls["n"] == 1
+    assert s2._fused_op is s1._fused_op
+    # and the two runs must produce identical physics
+    r1 = stepper.run(p, Config(solver="cg"))
+    r2 = stepper.run(p, Config(solver="cg"))
+    np.testing.assert_array_equal(np.asarray(r1.aggregate_u),
+                                  np.asarray(r2.aggregate_u))
+    # a distinct Problem builds its own hierarchy
+    p2 = meshgen.cohesive_interface_problem(4, 2, open_disp=0.004, t=1.0,
+                                            dt=0.25)
+    newton._matfree_amg_cache(System(p2))
+    assert calls["n"] == 2
+
+
 def test_cm_jac_matvec_matches_flat():
     """The component-major lattice-tier jac matvec (_mf_jac_mv_cm: block
     stencil + (comp, node) cohesive scatter) equals the flat fused-gather
