@@ -156,7 +156,9 @@ def bench_big_solve():
         ).with_impl("planes")
         op32 = op64.astype(jnp.float32)
         F = system.rhs(0.0)
-        hier32 = multigrid.build(op32, system.bc_dofs)
+        # Chebyshev(3) smoothing: 48 -> ~22 MG-CG iterations at this size vs
+        # V(2,2) damped Jacobi, at 8 vs 6 fine matvecs per iteration
+        hier32 = multigrid.build(op32, system.bc_dofs, smoother="chebyshev")
         bc_mask = jnp.zeros(system.ndof, bool).at[system.bc_dofs].set(True)
         mf32 = jnp.asarray(bc_mask, jnp.float32)
         ubc = jnp.zeros(system.ndof).at[system.bc_dofs].set(

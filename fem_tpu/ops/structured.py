@@ -219,6 +219,8 @@ def matvec(op: StencilOperator, u):
     scalar materials."""
     if op._impl() == "planes" and op.lam.ndim == 0:
         return matvec_planes(op, u)
+    if op._impl() == "planes27" and op.lam.ndim == 0:
+        return matvec_planes27(op, u)
     return matvec_matmul(op, u)
 
 
@@ -237,6 +239,8 @@ def matvec_g(op: StencilOperator, g):
     sh = op.shape + (op.pdim,)
     if op._impl() == "planes" and op.lam.ndim == 0:
         return _planes_core(op, jnp.moveaxis(g, -1, 0))
+    if op._impl() == "planes27" and op.lam.ndim == 0:
+        return _planes27_core(op, jnp.moveaxis(g, -1, 0))
     return _matmul_core(op, g).reshape(sh)
 
 
@@ -335,6 +339,130 @@ def _planes_core(op: StencilOperator, comps):
             t = mask_a * acc[p]
             totals[p] = t if totals[p] is None else totals[p] + t
     out = jnp.stack(totals, axis=0)  # (pdim, *shape)
+    return jnp.moveaxis(out, 0, -1)
+
+
+def _axis_mask(off_ax: int, nax: int, ax: int, pdim: int, dtype):
+    """Float indicator over global axis indices x that the cell at
+    x - off_ax exists along that axis, shaped for outer-product broadcast."""
+    x = np.arange(nax)
+    ok = (x - off_ax >= 0) & (x - off_ax <= nax - 2)
+    mshape = [1] * pdim
+    mshape[ax] = nax
+    return jnp.asarray(ok.astype(np.float64).reshape(mshape), dtype=dtype)
+
+
+def _collapsed_stencil(op: StencilOperator):
+    """Interior 27-point (3D) / 9-point (2D) coefficients: for each node
+    shift o = off_b - off_a, c_o[p, q] = sum over corner pairs (a, b) with
+    that shift of k_ref[a, p, b, q]. Valid where every incident cell exists
+    (all interior nodes); boundary nodes need the per-corner masks."""
+    offs = op.offsets
+    nn = len(offs)
+    pdim = op.pdim
+    k_ref = (op.lam * op.k_lam + op.mu * op.k_mu).reshape(nn, pdim, nn, pdim)
+    coeffs = {}
+    for a in range(nn):
+        for b in range(nn):
+            o = tuple(ob - oa for oa, ob in zip(offs[a], offs[b]))
+            c = k_ref[a, :, b, :]
+            coeffs[o] = c if o not in coeffs else coeffs[o] + c
+    return coeffs
+
+
+def _planes_face(op: StencilOperator, U, k_ref, ax: int, side: int):
+    """Masked planes result on the thickness-1 node slab at `side` (0 or
+    last) of axis `ax` — the _planes_core sum restricted to that face, with
+    GLOBAL per-axis masks so edge/corner nodes come out exact."""
+    shape = op.shape
+    pdim = op.pdim
+    offs = op.offsets
+    nn = len(offs)
+    dtype = U.dtype
+    xg = 0 if side == 0 else shape[ax] - 1
+    face_shape = tuple(1 if i == ax else n for i, n in enumerate(shape))
+    totals = [None] * pdim
+    for a in range(nn):
+        off_a = offs[a]
+        # axis-ax mask factor is a scalar on this face
+        if not (0 <= xg - off_a[ax] <= shape[ax] - 2):
+            continue
+        mask_a = None
+        for ax2 in range(pdim):
+            if ax2 == ax:
+                continue
+            m = _axis_mask(off_a[ax2], shape[ax2], ax2, pdim, dtype)
+            mask_a = m if mask_a is None else mask_a * m
+        acc = [None] * pdim
+        for b in range(nn):
+            off_b = offs[b]
+            sl = tuple(
+                slice(1 + xg + off_b[i] - off_a[i],
+                      2 + xg + off_b[i] - off_a[i])
+                if i == ax
+                else slice(1 + off_b[i] - off_a[i],
+                           1 + off_b[i] - off_a[i] + shape[i])
+                for i in range(pdim)
+            )
+            for q in range(pdim):
+                Uq = U[(q,) + sl]
+                for p in range(pdim):
+                    term = k_ref[a, p, b, q] * Uq
+                    acc[p] = term if acc[p] is None else acc[p] + term
+        for p in range(pdim):
+            t = acc[p] if mask_a is None else mask_a * acc[p]
+            totals[p] = t if totals[p] is None else totals[p] + t
+    zero = jnp.zeros((pdim,) + face_shape, dtype=dtype)
+    if totals[0] is None:
+        return zero
+    return jnp.stack(totals, axis=0)
+
+
+def matvec_planes27(op: StencilOperator, u):
+    """K @ u as the COLLAPSED 27-point (3D) / 9-point (2D) constant stencil
+    plus exact face recomputation — 27*pdim^2 FMA terms per node instead of
+    the per-corner-masked planes form's (2^pdim)^2*pdim^2 (243 vs 576 in
+    3D), targeting the VPU issue rate that binds the planes schedule
+    (DESIGN.md §6). Interior nodes use the constant collapsed coefficients;
+    the 2*pdim boundary faces (where some incident cells are missing) are
+    recomputed with the globally-masked per-corner sum and pasted over.
+    Scalar materials only, like matvec_planes."""
+    if op.lam.ndim != 0:
+        raise NotImplementedError("matvec_planes27 requires scalar materials")
+    comps = jnp.moveaxis(u.reshape(*op.shape, op.pdim), -1, 0)
+    return _planes27_core(op, comps).reshape(-1)
+
+
+def _planes27_core(op: StencilOperator, comps):
+    """planes27 core: comps (pdim, *shape) in, (*shape, pdim) out."""
+    shape = op.shape
+    pdim = op.pdim
+    offs = op.offsets
+    nn = len(offs)
+    coeffs = _collapsed_stencil(op)
+    k_ref = (op.lam * op.k_lam + op.mu * op.k_mu).reshape(nn, pdim, nn, pdim)
+    U = jnp.pad(comps, [(0, 0)] + [(1, 1)] * pdim)
+
+    totals = [None] * pdim
+    for o, c in coeffs.items():
+        sl = tuple(slice(1 + oo, 1 + oo + n) for oo, n in zip(o, shape))
+        for q in range(pdim):
+            Uq = U[(q,) + sl]
+            for p in range(pdim):
+                term = c[p, q] * Uq
+                totals[p] = term if totals[p] is None else totals[p] + term
+    out = jnp.stack(totals, axis=0)  # (pdim, *shape)
+
+    # paste exact boundary faces (each face value is globally correct,
+    # including shared edges/corners, so paste order is irrelevant)
+    for ax in range(pdim):
+        for side in (0, 1):
+            face = _planes_face(op, U, k_ref, ax, side)
+            idx = [slice(None)] * (pdim + 1)
+            idx[1 + ax] = slice(0, 1) if side == 0 else slice(
+                shape[ax] - 1, shape[ax]
+            )
+            out = out.at[tuple(idx)].set(face)
     return jnp.moveaxis(out, 0, -1)
 
 

@@ -36,6 +36,11 @@ class MGLevel:
     # bool mask + in-jit astype corrupts at ~800k dofs; a transferred float
     # mask is exact).
     maskf: jax.Array  # (ndof,) dtype of op, 1.0 on constrained dofs
+    # Chebyshev interval [theta - delta, theta + delta] of D^-1 A (static,
+    # like solver/amg.AMGLevel); 0.0 when the hierarchy was built for the
+    # damped-Jacobi smoother.
+    theta: float = dataclasses.field(default=0.0, metadata=dict(static=True))
+    delta: float = dataclasses.field(default=0.0, metadata=dict(static=True))
 
 
 @jax.tree_util.register_dataclass
@@ -49,6 +54,14 @@ class MGHierarchy:
     nu_post: int = dataclasses.field(default=2, metadata=dict(static=True))
     omega: float = dataclasses.field(default=0.67, metadata=dict(static=True))
     coarse_smooth: int = dataclasses.field(default=0, metadata=dict(static=True))
+    # smoother="chebyshev" replaces each nu-sweep damped-Jacobi smooth with
+    # one degree-`degree` Chebyshev polynomial of D^-1 A (the solver/amg.py
+    # smoother): same per-cycle matvec count at degree 3 vs nu=2 Jacobi
+    # (3+1 vs 2+1 per half-cycle) but a far stronger error-mode damping —
+    # measured to cut 3D-elasticity MG-CG iteration counts ~2x.
+    smoother: str = dataclasses.field(default="jacobi",
+                                      metadata=dict(static=True))
+    degree: int = dataclasses.field(default=3, metadata=dict(static=True))
 
 
 def _pool2(field):
@@ -65,12 +78,39 @@ def _pool2(field):
     return out
 
 
+def _lambda_max_level(op, diag, maskf, iters: int = 15, seed: int = 0):
+    """Power-iteration estimate of lambda_max(D^-1 A_masked), 10% headroom
+    (the solver/amg._lambda_max recipe on the stencil operator). Host-driven
+    loop of small jitted matvecs — runs wherever build() runs (CPU backend
+    for the big-solve paths)."""
+    rng = np.random.default_rng(seed)
+    x = jnp.asarray(rng.standard_normal(op.ndof), dtype=op.k_lam.dtype)
+    x = x / jnp.linalg.norm(x)
+    keep = 1.0 - maskf
+
+    @jax.jit
+    def step(x):
+        ax = structured.matvec(op, x * keep) * keep + x * maskf
+        y = ax / diag
+        ny = jnp.linalg.norm(y)
+        return y / ny, ny
+
+    lam = 1.0
+    for _ in range(iters):
+        x, ny = step(x)
+        lam = float(ny)
+    return 1.1 * lam
+
+
 def build(op: structured.StencilOperator, bc_dofs, min_cells: int = 2,
           nu_pre: int = 2, nu_post: int = 2, omega: float = 0.67,
-          max_levels: int = 32) -> MGHierarchy:
+          max_levels: int = 32, smoother: str = "jacobi",
+          degree: int = 3) -> MGHierarchy:
     """Build the hierarchy from the fine stencil operator and constrained
     dof list. Coarsening halves each axis while all cell counts are even
-    and > min_cells."""
+    and > min_cells. smoother="chebyshev" estimates each level's D^-1 A
+    spectrum by power iteration and smooths with degree-`degree` Chebyshev
+    polynomials instead of nu damped-Jacobi sweeps."""
     pdim = op.pdim
     dtype = op.k_lam.dtype
     mask = np.zeros(op.ndof, dtype=bool)
@@ -94,7 +134,14 @@ def build(op: structured.StencilOperator, bc_dofs, min_cells: int = 2,
                             dtype=dtype)
         d = structured.diag(cur_op)
         d = d * (1.0 - maskf) + maskf
-        levels.append(MGLevel(op=cur_op, diag=d, maskf=maskf))
+        theta = delta = 0.0
+        if smoother == "chebyshev":
+            lam_max = _lambda_max_level(cur_op, d, maskf)
+            lb = lam_max / 30.0
+            theta = float(0.5 * (lam_max + lb))
+            delta = float(0.5 * (lam_max - lb))
+        levels.append(MGLevel(op=cur_op, diag=d, maskf=maskf,
+                              theta=theta, delta=delta))
         cells = tuple(n - 1 for n in cur_op.shape)
         if any(c % 2 or c // 2 < min_cells for c in cells):
             break
@@ -138,7 +185,8 @@ def build(op: structured.StencilOperator, bc_dofs, min_cells: int = 2,
 
     return MGHierarchy(levels=tuple(levels), coarse_inv=coarse_inv,
                        nu_pre=nu_pre, nu_post=nu_post, omega=omega,
-                       coarse_smooth=coarse_smooth)
+                       coarse_smooth=coarse_smooth, smoother=smoother,
+                       degree=degree)
 
 
 def _gshape(level: MGLevel):
@@ -182,6 +230,33 @@ def _smooth_g(level: MGLevel, omega, xg, bg, iters: int):
         r = bg - _masked_matvec_g(level, xg)
         xg = xg + omega * r / dg
     return xg
+
+
+def _cheb_g(level: MGLevel, degree: int, xg, bg):
+    """Degree-`degree` Chebyshev smoothing of D^-1 A on the level's
+    [theta-delta, theta+delta] interval, grid-shaped state throughout
+    (same recurrence as solver/amg._chebyshev; matvec-only, jit-clean)."""
+    sh = _gshape(level)
+    dg = level.diag.reshape(sh)
+    theta, delta = level.theta, level.delta
+    sigma = theta / delta
+    rho = 1.0 / sigma
+    r = (bg - _masked_matvec_g(level, xg)) / dg
+    d = r / theta
+    for _ in range(degree - 1):
+        xg = xg + d
+        r = r - _masked_matvec_g(level, d) / dg
+        rho_new = 1.0 / (2.0 * sigma - rho)
+        d = (rho_new * rho) * d + (2.0 * rho_new / delta) * r
+        rho = rho_new
+    return xg + d
+
+
+def _smooth_dispatch(h: "MGHierarchy", level: MGLevel, xg, bg, iters: int):
+    """Pick the hierarchy's smoother (used by the fused V-cycle forms)."""
+    if h.smoother == "chebyshev":
+        return _cheb_g(level, h.degree, xg, bg)
+    return _smooth_g(level, h.omega, xg, bg, iters)
 
 
 def _interp_axis(a, axis):
@@ -278,14 +353,14 @@ def _v_g(h: MGHierarchy, idx: int, rg):
         return x.reshape(sh)
     pdim = level.op.pdim
     keep = 1.0 - level.maskf.reshape(sh)
-    x = _smooth_g(level, h.omega, jnp.zeros_like(rg), rg, h.nu_pre)
+    x = _smooth_dispatch(h, level, jnp.zeros_like(rg), rg, h.nu_pre)
     res = (rg - _masked_matvec_g(level, x)) * keep
     rc = restrict_g(res, level.op.shape, pdim)
     csh = _gshape(h.levels[idx + 1])
     keep_c = 1.0 - h.levels[idx + 1].maskf.reshape(csh)
     xc = _v_g(h, idx + 1, rc * keep_c) * keep_c
     x = x + prolong_g(xc, level.op.shape, pdim)
-    return _smooth_g(level, h.omega, x, rg, h.nu_post)
+    return _smooth_dispatch(h, level, x, rg, h.nu_post)
 
 
 def preconditioner(h: MGHierarchy) -> Callable:
@@ -301,6 +376,13 @@ def preconditioner(h: MGHierarchy) -> Callable:
 # ~1.4 ms relay overhead per dispatch for robustness.
 
 _jit_smooth = jax.jit(_smooth_g, static_argnames=("iters",))
+_jit_cheb = jax.jit(_cheb_g, static_argnames=("degree",))
+
+
+def _host_smooth(h: "MGHierarchy", level: MGLevel, xg, bg, iters: int):
+    if h.smoother == "chebyshev":
+        return _jit_cheb(level, h.degree, xg, bg)
+    return _jit_smooth(level, h.omega, xg, bg, iters=iters)
 
 
 @jax.jit
@@ -342,11 +424,11 @@ def _v_host(h: MGHierarchy, idx: int, rg):
             return _jit_smooth(level, h.omega, jnp.zeros_like(rg), rg,
                                iters=h.coarse_smooth)
         return _jit_coarse_inv(h.coarse_inv, rg)
-    x = _jit_smooth(level, h.omega, jnp.zeros_like(rg), rg, iters=h.nu_pre)
+    x = _host_smooth(h, level, jnp.zeros_like(rg), rg, h.nu_pre)
     rc = _jit_residual_restrict(level, x, rg, h.levels[idx + 1].maskf)
     xc = _v_host(h, idx + 1, rc)
     x = _jit_prolong_add(level, x, xc, h.levels[idx + 1].maskf)
-    return _jit_smooth(level, h.omega, x, rg, iters=h.nu_post)
+    return _host_smooth(h, level, x, rg, h.nu_post)
 
 
 # ---------------- sharded-fine-level variant ----------------
@@ -377,6 +459,41 @@ def _jit_smooth_sharded(level: MGLevel, omega, xg, bg, mesh, iters: int):
     return xg
 
 
+@_functools.partial(jax.jit, static_argnames=("mesh", "degree"))
+def _jit_cheb_sharded(level: MGLevel, degree: int, xg, bg, mesh):
+    """_cheb_g with the level's matvecs on the slab-sharded stencil."""
+    sh = _gshape(level)
+    mf = level.maskf.reshape(sh)
+    keep = 1.0 - mf
+    dg = level.diag.reshape(sh)
+
+    def mv(v):
+        return structured.matvec_sharded(
+            level.op, (v * keep).reshape(-1), mesh
+        ).reshape(sh) * keep + v * mf
+
+    theta, delta = level.theta, level.delta
+    sigma = theta / delta
+    rho = 1.0 / sigma
+    r = (bg - mv(xg)) / dg
+    d = r / theta
+    for _ in range(degree - 1):
+        xg = xg + d
+        r = r - mv(d) / dg
+        rho_new = 1.0 / (2.0 * sigma - rho)
+        d = (rho_new * rho) * d + (2.0 * rho_new / delta) * r
+        rho = rho_new
+    return xg + d
+
+
+def _sharded_smooth(h: "MGHierarchy", level: MGLevel, xg, bg, mesh,
+                    iters: int):
+    if h.smoother == "chebyshev":
+        return _jit_cheb_sharded(level, h.degree, xg, bg, mesh=mesh)
+    return _jit_smooth_sharded(level, h.omega, xg, bg, mesh=mesh,
+                               iters=iters)
+
+
 @_functools.partial(jax.jit, static_argnames=("mesh",))
 def _jit_residual_restrict_sharded(level: MGLevel, xg, rg, coarse_maskf,
                                    mesh):
@@ -404,11 +521,10 @@ def v_cycle_host_sharded(h: MGHierarchy, r, mesh):
     lvl = h.levels[0]
     sh = _gshape(lvl)
     rg = r.reshape(sh)
-    x = _jit_smooth_sharded(lvl, h.omega, jnp.zeros_like(rg), rg,
-                            mesh=mesh, iters=h.nu_pre)
+    x = _sharded_smooth(h, lvl, jnp.zeros_like(rg), rg, mesh, h.nu_pre)
     rc = _jit_residual_restrict_sharded(lvl, x, rg, h.levels[1].maskf,
                                         mesh=mesh)
     xc = _v_host(h, 1, rc)
     x = _jit_prolong_add(lvl, x, xc, h.levels[1].maskf)
-    x = _jit_smooth_sharded(lvl, h.omega, x, rg, mesh=mesh, iters=h.nu_post)
+    x = _sharded_smooth(h, lvl, x, rg, mesh, h.nu_post)
     return x.reshape(-1)

@@ -52,6 +52,36 @@ def test_mg_matches_jacobi_solution():
     )
 
 
+def test_mg_chebyshev_smoother():
+    """Chebyshev smoothing (the solver/amg.py smoother on the geometric
+    hierarchy) converges, matches the Jacobi solution, and needs fewer
+    MG-CG iterations than V(2,2) damped Jacobi."""
+    system, op, A, b, _ = _setup3d(12)
+    hj = multigrid.build(op, system.bc_dofs)
+    hc = multigrid.build(op, system.bc_dofs, smoother="chebyshev")
+    tol = 1e-9 * float(jnp.linalg.norm(b))
+    rj = cg.pcg(A, b, rtol=1e-9, maxiter=300,
+                precond=multigrid.preconditioner(hj))
+    rc = cg.pcg(A, b, rtol=1e-9, maxiter=300,
+                precond=multigrid.preconditioner(hc))
+    assert float(rj.resnorm) <= tol * 1.01
+    assert float(rc.resnorm) <= tol * 1.01
+    assert int(rc.iters) < int(rj.iters)
+    np.testing.assert_allclose(np.asarray(rc.x), np.asarray(rj.x),
+                               atol=1e-8 * float(jnp.abs(rj.x).max()))
+
+
+def test_mg_chebyshev_host_matches_fused():
+    system, op, _, b, _ = _setup3d(8)
+    h = multigrid.build(op, system.bc_dofs, smoother="chebyshev")
+    rng = np.random.default_rng(3)
+    r = jnp.asarray(rng.normal(size=op.ndof))
+    fused = multigrid.v_cycle(h, r)
+    host = multigrid.v_cycle_host(h, r)
+    np.testing.assert_allclose(np.asarray(host), np.asarray(fused),
+                               rtol=1e-12, atol=1e-12 * float(jnp.abs(fused).max()))
+
+
 def test_prolong_restrict_adjoint():
     rng = np.random.default_rng(0)
     fine_shape = (9, 7, 5)

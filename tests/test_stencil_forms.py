@@ -26,9 +26,31 @@ def test_matvec_forms_agree(shape, cells):
     f0 = structured.matvec(op, u)
     f1 = structured.matvec_planes(op, u)
     f2 = structured.matvec_pairs(op, u)
+    f3 = structured.matvec_planes27(op, u)
     nrm = float(jnp.linalg.norm(f0))
     assert float(jnp.linalg.norm(f1 - f0)) < 1e-12 * nrm
     assert float(jnp.linalg.norm(f2 - f0)) < 1e-12 * nrm
+    assert float(jnp.linalg.norm(f3 - f0)) < 1e-12 * nrm
+
+
+@pytest.mark.parametrize(
+    "shape,cells",
+    [((4, 4, 4), (0.1, 0.1, 0.1)),  # all-boundary cube: every node on a face
+     ((9, 3, 5), (0.1, 0.2, 0.15)),  # thin slab: faces dominate
+     ((3, 3), (0.5, 0.5)),
+     ((12, 9), (0.3, 0.2))],
+)
+def test_matvec_planes27_boundaries(shape, cells):
+    """planes27's face-paste must be exact on edges/corners (nodes on
+    several faces at once) and on grids where no interior exists."""
+    lam, mu = lame(jnp.asarray(70e9), jnp.asarray(0.25))
+    op = structured.build(cells, shape, lam, mu)
+    rng = np.random.default_rng(7)
+    u = jnp.asarray(rng.standard_normal(op.ndof))
+    f0 = structured.matvec_matmul(op, u)
+    f3 = structured.matvec_planes27(op, u)
+    nrm = float(jnp.linalg.norm(f0))
+    assert float(jnp.linalg.norm(f3 - f0)) < 1e-12 * nrm
 
 
 def test_matvec_pairs_heterogeneous():
