@@ -153,7 +153,7 @@ def bench_big_solve():
         lam, mu = lame(jnp.asarray(200e9), jnp.asarray(0.3))
         op64 = structured.build(
             (1.0 / n,) * 3, (n + 1,) * 3, lam, mu
-        ).with_impl("planes")
+        ).with_impl("planes27")
         op32 = op64.astype(jnp.float32)
         F = system.rhs(0.0)
         # Chebyshev(3) smoothing: 48 -> ~22 MG-CG iterations at this size vs
@@ -169,10 +169,11 @@ def bench_big_solve():
     )
     log("big solve: setup done (CPU), arrays on device")
 
-    # GRID-SHAPED state + planes schedule throughout: flat elementwise ops
+    # GRID-SHAPED state + planes27 schedule throughout: flat elementwise ops
     # fused onto matvec outputs corrupt the array tail at this size
-    # (miscompile #5, structured.matvec_g), and the planes stencil is ~10x
-    # faster than the matmul form (8.2 ms vs 87 ms per 1.59M-dof matvec).
+    # (miscompile #5, structured.matvec_g), and the collapsed 27-point
+    # stencil is the fastest schedule (3.3 ms vs 20.6 ms planes vs 87 ms
+    # matmul per 1.59M-dof matvec, tools/planes27_ab.py).
     # The schedule is pinned ON the operators at build (with_impl) — no
     # global MATVEC_IMPL mutation leaking into later benches (ADVICE r2).
     gsh = (n + 1, n + 1, n + 1, 3)

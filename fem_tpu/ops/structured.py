@@ -23,6 +23,8 @@ shards along its leading axis and the only communication is a halo exchange
 from __future__ import annotations
 
 import dataclasses
+import functools
+import itertools
 from typing import Optional, Tuple
 
 import jax
@@ -342,80 +344,57 @@ def _planes_core(op: StencilOperator, comps):
     return jnp.moveaxis(out, 0, -1)
 
 
-def _axis_mask(off_ax: int, nax: int, ax: int, pdim: int, dtype):
-    """Float indicator over global axis indices x that the cell at
-    x - off_ax exists along that axis, shaped for outer-product broadcast."""
-    x = np.arange(nax)
-    ok = (x - off_ax >= 0) & (x - off_ax <= nax - 2)
-    mshape = [1] * pdim
-    mshape[ax] = nax
-    return jnp.asarray(ok.astype(np.float64).reshape(mshape), dtype=dtype)
-
-
-def _collapsed_stencil(op: StencilOperator):
-    """Interior 27-point (3D) / 9-point (2D) coefficients: for each node
-    shift o = off_b - off_a, c_o[p, q] = sum over corner pairs (a, b) with
-    that shift of k_ref[a, p, b, q]. Valid where every incident cell exists
-    (all interior nodes); boundary nodes need the per-corner masks."""
-    offs = op.offsets
+@functools.lru_cache(maxsize=None)
+def _pair_tables(pdim: int):
+    """Static corner-pair tables for the collapsed stencil: for each node
+    shift o = off_b - off_a (27 in 3D, 9 in 2D) and each corner a, the
+    matching corner b and a validity flag. Lets the traced code build
+    k_pair[o, a, p, q] = k_ref[a, p, b(o, a), q] with ONE advanced-indexing
+    gather instead of nn^2 Python-level adds."""
+    offs = _HEX_OFFSETS if pdim == 3 else _QUAD_OFFSETS
     nn = len(offs)
-    pdim = op.pdim
-    k_ref = (op.lam * op.k_lam + op.mu * op.k_mu).reshape(nn, pdim, nn, pdim)
-    coeffs = {}
-    for a in range(nn):
-        for b in range(nn):
-            o = tuple(ob - oa for oa, ob in zip(offs[a], offs[b]))
-            c = k_ref[a, :, b, :]
-            coeffs[o] = c if o not in coeffs else coeffs[o] + c
-    return coeffs
+    pos = {off: i for i, off in enumerate(offs)}
+    o_list = tuple(itertools.product((-1, 0, 1), repeat=pdim))
+    A = np.zeros((len(o_list), nn), np.int32)
+    B = np.zeros((len(o_list), nn), np.int32)
+    V = np.zeros((len(o_list), nn), np.float64)
+    for oi, o in enumerate(o_list):
+        for a in range(nn):
+            bt = tuple(offs[a][i] + o[i] for i in range(pdim))
+            if bt in pos:
+                A[oi, a] = a
+                B[oi, a] = pos[bt]
+                V[oi, a] = 1.0
+    return o_list, A, B, V
 
 
-def _planes_face(op: StencilOperator, U, k_ref, ax: int, side: int):
-    """Masked planes result on the thickness-1 node slab at `side` (0 or
-    last) of axis `ax` — the _planes_core sum restricted to that face, with
-    GLOBAL per-axis masks so edge/corner nodes come out exact."""
-    shape = op.shape
-    pdim = op.pdim
-    offs = op.offsets
+@functools.lru_cache(maxsize=None)
+def _face_masks_np(shape: Tuple[int, ...], ax: int, side: int):
+    """(nn, *face_shape) float64 mask: for corner a and node x on the
+    `side` face of axis `ax`, 1.0 iff the cell at x - off_a exists — the
+    product of GLOBAL per-axis indicators (including the scalar axis-ax
+    factor), so shared edge and corner nodes come out exact."""
+    pdim = len(shape)
+    offs = _HEX_OFFSETS if pdim == 3 else _QUAD_OFFSETS
     nn = len(offs)
-    dtype = U.dtype
     xg = 0 if side == 0 else shape[ax] - 1
     face_shape = tuple(1 if i == ax else n for i, n in enumerate(shape))
-    totals = [None] * pdim
+    out = np.zeros((nn,) + face_shape, np.float64)
     for a in range(nn):
-        off_a = offs[a]
-        # axis-ax mask factor is a scalar on this face
-        if not (0 <= xg - off_a[ax] <= shape[ax] - 2):
+        if not (0 <= xg - offs[a][ax] <= shape[ax] - 2):
             continue
-        mask_a = None
+        m = np.ones(face_shape)
         for ax2 in range(pdim):
             if ax2 == ax:
                 continue
-            m = _axis_mask(off_a[ax2], shape[ax2], ax2, pdim, dtype)
-            mask_a = m if mask_a is None else mask_a * m
-        acc = [None] * pdim
-        for b in range(nn):
-            off_b = offs[b]
-            sl = tuple(
-                slice(1 + xg + off_b[i] - off_a[i],
-                      2 + xg + off_b[i] - off_a[i])
-                if i == ax
-                else slice(1 + off_b[i] - off_a[i],
-                           1 + off_b[i] - off_a[i] + shape[i])
-                for i in range(pdim)
-            )
-            for q in range(pdim):
-                Uq = U[(q,) + sl]
-                for p in range(pdim):
-                    term = k_ref[a, p, b, q] * Uq
-                    acc[p] = term if acc[p] is None else acc[p] + term
-        for p in range(pdim):
-            t = acc[p] if mask_a is None else mask_a * acc[p]
-            totals[p] = t if totals[p] is None else totals[p] + t
-    zero = jnp.zeros((pdim,) + face_shape, dtype=dtype)
-    if totals[0] is None:
-        return zero
-    return jnp.stack(totals, axis=0)
+            x = np.arange(shape[ax2])
+            ok = ((x - offs[a][ax2] >= 0)
+                  & (x - offs[a][ax2] <= shape[ax2] - 2))
+            msh = [1] * pdim
+            msh[ax2] = shape[ax2]
+            m = m * ok.astype(np.float64).reshape(msh)
+        out[a] = m
+    return out
 
 
 def matvec_planes27(op: StencilOperator, u):
@@ -434,22 +413,34 @@ def matvec_planes27(op: StencilOperator, u):
 
 
 def _planes27_core(op: StencilOperator, comps):
-    """planes27 core: comps (pdim, *shape) in, (*shape, pdim) out."""
+    """planes27 core: comps (pdim, *shape) in, (*shape, pdim) out.
+
+    Interior nodes: the constant collapsed coefficients, 243 FMA terms
+    (3D) that XLA fuses into one elementwise pass. Boundary faces: the
+    exact per-corner masked sum, contracted as TWO small einsums per face
+    against a static numpy mask tensor. The earlier scalar-term face form
+    traced ~7k equations per matvec, which blew the chunked MG-CG program
+    past ~600k equations at 1.59M dofs (>30 min trace+compile, killed);
+    this form traces ~10x smaller while computing the identical values."""
     shape = op.shape
     pdim = op.pdim
-    offs = op.offsets
-    nn = len(offs)
-    coeffs = _collapsed_stencil(op)
+    nn = len(op.offsets)
+    dtype = comps.dtype
+    o_list, A_t, B_t, V_t = _pair_tables(pdim)
     k_ref = (op.lam * op.k_lam + op.mu * op.k_mu).reshape(nn, pdim, nn, pdim)
+    # k_pair[o, a, p, q] = k_ref[a, p, b(o, a), q], 0 where no matching b
+    k_pair = (k_ref[A_t, :, B_t, :]
+              * jnp.asarray(V_t, dtype=dtype)[:, :, None, None])
+    csum = jnp.sum(k_pair, axis=1)  # interior collapsed coefficients
     U = jnp.pad(comps, [(0, 0)] + [(1, 1)] * pdim)
 
     totals = [None] * pdim
-    for o, c in coeffs.items():
+    for oi, o in enumerate(o_list):
         sl = tuple(slice(1 + oo, 1 + oo + n) for oo, n in zip(o, shape))
         for q in range(pdim):
             Uq = U[(q,) + sl]
             for p in range(pdim):
-                term = c[p, q] * Uq
+                term = csum[oi, p, q] * Uq
                 totals[p] = term if totals[p] is None else totals[p] + term
     out = jnp.stack(totals, axis=0)  # (pdim, *shape)
 
@@ -457,11 +448,21 @@ def _planes27_core(op: StencilOperator, comps):
     # including shared edges/corners, so paste order is irrelevant)
     for ax in range(pdim):
         for side in (0, 1):
-            face = _planes_face(op, U, k_ref, ax, side)
+            xg = 0 if side == 0 else shape[ax] - 1
+            mface = jnp.asarray(_face_masks_np(shape, ax, side), dtype=dtype)
+            rows = []
+            for o in o_list:
+                sl = tuple(
+                    slice(1 + xg + o[i], 2 + xg + o[i]) if i == ax
+                    else slice(1 + o[i], 1 + o[i] + shape[i])
+                    for i in range(pdim)
+                )
+                rows.append(U[(slice(None),) + sl])
+            S = jnp.stack(rows, axis=0)  # (n_o, pdim, *face_shape)
+            T = jnp.einsum("oapq,oq...->ap...", k_pair, S, precision=_HIGH)
+            face = jnp.einsum("ap...,a...->p...", T, mface, precision=_HIGH)
             idx = [slice(None)] * (pdim + 1)
-            idx[1 + ax] = slice(0, 1) if side == 0 else slice(
-                shape[ax] - 1, shape[ax]
-            )
+            idx[1 + ax] = slice(xg, xg + 1)
             out = out.at[tuple(idx)].set(face)
     return jnp.moveaxis(out, 0, -1)
 

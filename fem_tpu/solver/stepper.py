@@ -391,15 +391,17 @@ def run(
                         )
                 else:
                     # single-device production path: GRID-shaped chunked
-                    # MG-CG with the planes stencil pinned ON the operator
-                    # (with_impl — no global MATVEC_IMPL mutation, ADVICE
-                    # r2). Grid-shaped state sidesteps TPU miscompile #5
+                    # MG-CG with the collapsed 27-point stencil pinned ON
+                    # the operator (with_impl — no global MATVEC_IMPL
+                    # mutation, ADVICE r2; planes27 measured 6.3x the planes
+                    # schedule at 1.59M dofs, tools/planes27_ab.py).
+                    # Grid-shaped state sidesteps TPU miscompile #5
                     # (flat elementwise on matvec outputs corrupts at
                     # ~1.6M dofs; see structured.matvec_g). With an f64
                     # config dtype the inner iterations run in f32 under
                     # f64 iterative refinement (TPU f64 is ~10x emulated;
                     # the bench big-solve pattern, BASELINE.md).
-                    st_p = st_op.with_impl("planes")
+                    st_p = st_op.with_impl("planes27")
                     use_ir = jnp.dtype(dtype) == jnp.dtype(jnp.float64)
                     inner_dtype = jnp.float32 if use_ir else dtype
                     st_i = st_p.astype(inner_dtype)
