@@ -139,6 +139,19 @@ def bench_big_solve():
 
     n = int(os.environ.get("FEM_TPU_BENCH_N", "80"))
     chunk = int(os.environ.get("FEM_TPU_BENCH_CHUNK", "4"))
+    # A/B knobs (defaults = production schedule; tools use these to tune
+    # without code edits): stencil schedule, MG smoother, Chebyshev degree.
+    # Production config from the round-3 solve-level A/B (BENCH_extra.json
+    # `config` records): planes/chebyshev3/chunk4/pipeline = 0.710 s at
+    # 1.59M dofs vs planes27/chebyshev3/chunk4 1.064 s. planes27's 6x
+    # standalone-matvec win was a batched-dispatch timing artifact; inside
+    # fused solve programs planes is ~7 ms/iteration faster, and the
+    # speculative pipeline + fused residual-norm pulls hide most of the
+    # relay round-trip cost (tools/solve_ab.py, tools/sync_cost.py).
+    impl = os.environ.get("FEM_TPU_BENCH_IMPL", "planes")
+    smoother = os.environ.get("FEM_TPU_BENCH_SMOOTHER", "chebyshev")
+    degree = int(os.environ.get("FEM_TPU_BENCH_DEG", "3"))
+    pipe = os.environ.get("FEM_TPU_BENCH_PIPE", "1") == "1"
     # ALL setup runs on the CPU backend: eager f64 setup ops cost ~200s of
     # remote compiles on the axon relay; the results are small arrays that
     # transfer in milliseconds.
@@ -153,12 +166,13 @@ def bench_big_solve():
         lam, mu = lame(jnp.asarray(200e9), jnp.asarray(0.3))
         op64 = structured.build(
             (1.0 / n,) * 3, (n + 1,) * 3, lam, mu
-        ).with_impl("planes27")
+        ).with_impl(impl)
         op32 = op64.astype(jnp.float32)
         F = system.rhs(0.0)
         # Chebyshev(3) smoothing: 48 -> ~22 MG-CG iterations at this size vs
         # V(2,2) damped Jacobi, at 8 vs 6 fine matvecs per iteration
-        hier32 = multigrid.build(op32, system.bc_dofs, smoother="chebyshev")
+        hier32 = multigrid.build(op32, system.bc_dofs, smoother=smoother,
+                                 degree=degree)
         bc_mask = jnp.zeros(system.ndof, bool).at[system.bc_dofs].set(True)
         mf32 = jnp.asarray(bc_mask, jnp.float32)
         ubc = jnp.zeros(system.ndof).at[system.bc_dofs].set(
@@ -169,13 +183,11 @@ def bench_big_solve():
     )
     log("big solve: setup done (CPU), arrays on device")
 
-    # GRID-SHAPED state + planes27 schedule throughout: flat elementwise ops
-    # fused onto matvec outputs corrupt the array tail at this size
-    # (miscompile #5, structured.matvec_g), and the collapsed 27-point
-    # stencil is the fastest schedule (3.3 ms vs 20.6 ms planes vs 87 ms
-    # matmul per 1.59M-dof matvec, tools/planes27_ab.py).
-    # The schedule is pinned ON the operators at build (with_impl) — no
-    # global MATVEC_IMPL mutation leaking into later benches (ADVICE r2).
+    # GRID-SHAPED state throughout: flat elementwise ops fused onto matvec
+    # outputs corrupt the array tail at this size (miscompile #5,
+    # structured.matvec_g). The schedule is pinned ON the operators at
+    # build (with_impl) — no global MATVEC_IMPL mutation leaking into
+    # later benches (ADVICE r2).
     gsh = (n + 1, n + 1, n + 1, 3)
     mf32_g = mf32.reshape(gsh)
     mf64_g = jax.device_put(bc_mask.astype(jnp.float64).reshape(gsh), tpu)
@@ -200,23 +212,26 @@ def bench_big_solve():
 
     @jax.jit
     def true_resid(op64, b64_g, xg):
+        # residual AND its norm in ONE program: the solve is relay-round-
+        # trip-bound (tools/sync_cost.py), so the norm rides the same pull
         keep = 1.0 - mf64_g
         ax = structured.matvec_g(op64, xg * keep) * keep + xg * mf64_g
-        return b64_g - ax
+        r = b64_g - ax
+        return r, r.astype(jnp.float32), jnp.sqrt(jnp.sum(r * r))
 
     def solve():
         x = ubc_g
         inner_total = 0
         for k in range(8):
-            r = true_resid(op64, b64_g, x)
-            rn = float(jnp.sqrt(jnp.sum(r * r)))
+            r, r32, rn_dev = true_resid(op64, b64_g, x)
+            rn = float(rn_dev)
             if k == 0:
                 r0 = rn
             if rn <= 1e-9 * r0:
                 break
-            res = cg.pcg_chunked(A32, r.astype(jnp.float32), M32,
+            res = cg.pcg_chunked(A32, r32, M32,
                                  (op32, hier32), rtol=1e-5, maxiter=80,
-                                 chunk=chunk)
+                                 chunk=chunk, pipeline=pipe, bnorm=rn)
             inner_total += int(res.iters)
             x = (x + res.x.astype(jnp.float64)) * (1.0 - mf64_g) + ubc_g * mf64_g
         return x, k, inner_total, rn / r0
@@ -241,6 +256,8 @@ def bench_big_solve():
         "inner_iters": inner_total,
         "rel_residual": float(rel),
         "cold_s": round(cold, 1),
+        "config": f"{impl}/{smoother}{degree}/chunk{chunk}"
+                  + ("/pipe" if pipe else ""),
     }
     log(json.dumps(rec))
     try:

@@ -206,14 +206,27 @@ def _chunk_programs(matvec, precond, chunk):
         return r, jnp.sqrt(_dot(r, r))
 
     def one(operands, state):
+        # Breakdown-safe unrolled iteration: when the solve converges
+        # MID-CHUNK, r ~ 0 makes rz/pAp underflow to 0/0 = NaN and the
+        # remaining unrolled iterations poison the state (observed: a
+        # prescribed-displacement deck converging in 2 iterations under
+        # chunk=4 returned all-NaN). Guarded alpha/beta turn post-
+        # convergence iterations into no-ops (alpha=beta=0 freezes x,r).
+        # The guards are SCALAR selects on dot results — not the vector
+        # bool-where-on-matvec-output TPU miscompile class (#1).
         x, r, p, rz = state
         ap = matvec(operands, p)
-        alpha = rz / _dot(p, ap)
+        pap = _dot(p, ap)
+        eps = jnp.asarray(jnp.finfo(rz.dtype).tiny, rz.dtype)
+        ok_a = pap > eps
+        alpha = jnp.where(ok_a, rz / jnp.where(ok_a, pap, 1.0), 0.0)
         x = x + alpha * p
         r = r - alpha * ap
         z = precond(operands, r)
         rz_new = _dot(r, z)
-        p = z + (rz_new / rz) * p
+        ok_b = rz > eps
+        beta = jnp.where(ok_b, rz_new / jnp.where(ok_b, rz, 1.0), 0.0)
+        p = z + beta * p
         return (x, r, p, rz_new)
 
     @jax.jit
@@ -230,7 +243,8 @@ def _chunk_programs(matvec, precond, chunk):
 
 def pcg_chunked(matvec, b, precond, operands, rtol: float = 1e-9,
                 atol: float = 0.0, maxiter: int = 400,
-                chunk: int = 5, x0=None) -> CGResult:
+                chunk: int = 5, x0=None,
+                pipeline: bool = False, bnorm: float | None = None) -> CGResult:
     """PCG with `chunk` iterations UNROLLED inside one jitted dispatch.
 
     The production large-solve shape on this image's TPU relay: lax
@@ -261,10 +275,19 @@ def pcg_chunked(matvec, b, precond, operands, rtol: float = 1e-9,
     jitted matvec) — the warm-start form for multi-step linear decks; the
     convergence test still targets rtol * ||b|| (the PETSc KSP default),
     not the smaller correction norm.
+
+    With `pipeline=True`, chunk k+1 is speculatively dispatched before
+    chunk k's residual norm is pulled to the host, hiding the relay
+    round-trip latency behind device execution (at most one wasted chunk
+    at convergence; see the pipeline branch below).
     """
     first, advance, resid = _chunk_programs(matvec, precond, chunk)
 
-    bnorm = float(jnp.sqrt(jnp.sum(b * b)))
+    # callers that already pulled ||b|| to the host (e.g. an iterative-
+    # refinement outer loop whose true-residual program returns the norm)
+    # pass it in — each avoided blocking pull is ~tens of ms on the relay
+    if bnorm is None:
+        bnorm = float(jnp.sqrt(jnp.sum(b * b)))
     tol = max(rtol * bnorm, atol)
     rnorm = bnorm
     if x0 is not None:
@@ -277,10 +300,29 @@ def pcg_chunked(matvec, b, precond, operands, rtol: float = 1e-9,
     r, z, rz = first(operands, b)
     p = z
     k = 0
-    while rnorm > tol and k < maxiter:
-        x, r, p, rz, rn = advance(operands, x, r, p, rz)
-        rnorm = float(rn)
-        k += chunk
+    if pipeline and rnorm > tol and maxiter > 0:
+        # Speculative 1-deep pipeline: dispatch chunk k+1 on chunk k's
+        # (still in-flight) outputs BEFORE blocking on chunk k's residual
+        # norm, so the ~tens-of-ms relay pull latency overlaps chunk k+1's
+        # execution (measured: the 1.59M-dof solve is round-trip-bound,
+        # tools/sync_cost.py / BENCH_extra `sync_cost_ms`). Costs at most
+        # one discarded chunk of device work at convergence.
+        nxt = advance(operands, x, r, p, rz)
+        k = chunk
+        while True:
+            spec = (advance(operands, nxt[0], nxt[1], nxt[2], nxt[3])
+                    if k < maxiter else None)
+            rnorm = float(nxt[4])
+            if rnorm <= tol or spec is None:
+                x, r, p, rz = nxt[0], nxt[1], nxt[2], nxt[3]
+                break
+            nxt = spec
+            k += chunk
+    else:
+        while rnorm > tol and k < maxiter:
+            x, r, p, rz, rn = advance(operands, x, r, p, rz)
+            rnorm = float(rn)
+            k += chunk
     if x0 is not None:
         x = x0 + x
     return CGResult(x=x, iters=jnp.asarray(k), resnorm=jnp.asarray(rnorm))

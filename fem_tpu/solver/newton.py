@@ -1001,11 +1001,13 @@ def solve_step_matfree(
                         nnds_cm, system.pdim).T
                     res_ = cg_mod.pcg_chunked(
                         mv_fn, rcm, pc_fn, ops,
-                        rtol=inner_eff, maxiter=cap, chunk=2)
+                        rtol=inner_eff, maxiter=cap, chunk=2,
+                        pipeline=True)
                     return res_.x.T.reshape(-1), res_
                 res_ = cg_mod.pcg_chunked(
                     mv_fn, rflat.astype(jnp.float32), pc_fn, ops,
-                    rtol=inner_eff, maxiter=cap, chunk=2)
+                    rtol=inner_eff, maxiter=cap, chunk=2,
+                    pipeline=True)
                 return res_.x, res_
 
             x32, res = _solve32(rhs, 200)

@@ -55,7 +55,10 @@ def _st_true_resid_g(op, bg, mf, xg):
 
     keep = 1.0 - mf
     ax = structured.matvec_g(op, xg * keep) * keep + xg * mf
-    return bg - ax
+    r = bg - ax
+    # norm rides the same program/pull: the production solves are relay-
+    # round-trip-bound (tools/sync_cost.py), one blocking pull ~tens of ms
+    return r, jnp.sqrt(jnp.sum(r * r))
 
 
 def _mv_any_cm(op, v):
@@ -88,7 +91,8 @@ def _amg_pc_cm(ops, r):
 def _amg_true_resid_cm(fop, bg, mf, x):
     keep = 1.0 - mf
     ax = _mv_any_cm(fop, x * keep) * keep + x * mf
-    return bg - ax
+    r = bg - ax
+    return r, jnp.sqrt(jnp.sum(r * r))
 
 
 def _lattice_csr(system, n):
@@ -107,22 +111,27 @@ def _ir_outer(true_resid, inner, combine, b, x, the_rtol, budget, use_ir):
     DOF-sharded, element-sharded) — mirroring the f64 accuracy MUMPS
     delivers on any mesh (main.F90:354-390) at f32 inner speed.
 
-    `true_resid(b, x) -> r` and `combine(x, dx) -> x` operate on the
-    branch's native solver-state shape (grid / component-major / flat);
-    `inner(r, cyc_rtol, cap) -> (dx, iters)` runs one chunked inner solve
-    in the inner dtype. Per-cycle tolerance asks only for the REMAINING
-    reduction, floored at 1e-5 (f32 CG's reliable single-cycle reach) —
-    the last cycle otherwise overshoots ~100x in wasted iterations. With
-    `use_ir=False` (f32 config) one inner call at the target rtol is made
-    and the loop exits with the measured true residual.
+    `true_resid(b, x) -> (r, rn_device)` and `combine(x, dx) -> x` operate
+    on the branch's native solver-state shape (grid / component-major /
+    flat) — the residual NORM is computed inside the true-residual program
+    so it rides the same dispatch and blocking pull (each avoided host
+    round trip is ~tens of ms on the relay, tools/sync_cost.py);
+    `inner(r, cyc_rtol, cap, rn) -> (dx, iters)` runs one chunked inner
+    solve in the inner dtype, passing rn down as pcg_chunked's bnorm so
+    the inner solve skips its own ||b|| pull. Per-cycle tolerance asks
+    only for the REMAINING reduction, floored at 1e-5 (f32 CG's reliable
+    single-cycle reach) — the last cycle otherwise overshoots ~100x in
+    wasted iterations. With `use_ir=False` (f32 config) one inner call at
+    the target rtol is made and the loop exits with the measured true
+    residual.
 
     Returns (x, inner_total, rn)."""
     r0n = max(float(jnp.sqrt(jnp.sum(b * b))), 1e-300)
     inner_total = 0
     rn = r0n
     for _ in range(12):
-        r = true_resid(b, x)
-        rn = float(jnp.sqrt(jnp.sum(r * r)))
+        r, rn_dev = true_resid(b, x)
+        rn = float(rn_dev)
         if rn <= the_rtol * r0n or inner_total >= budget:
             break
         if use_ir:
@@ -131,12 +140,12 @@ def _ir_outer(true_resid, inner, combine, b, x, the_rtol, budget, use_ir):
         else:
             cyc_rtol = the_rtol * r0n / rn
             cap = budget - inner_total
-        dx, iters = inner(r, cyc_rtol, cap)
+        dx, iters = inner(r, cyc_rtol, cap, rn)
         inner_total += int(iters)
         x = combine(x, dx)
         if not use_ir:
-            r = true_resid(b, x)
-            rn = float(jnp.sqrt(jnp.sum(r * r)))
+            r, rn_dev = true_resid(b, x)
+            rn = float(rn_dev)
             break
     return x, inner_total, rn
 
@@ -391,17 +400,21 @@ def run(
                         )
                 else:
                     # single-device production path: GRID-shaped chunked
-                    # MG-CG with the collapsed 27-point stencil pinned ON
+                    # MG-CG with the per-corner planes stencil pinned ON
                     # the operator (with_impl — no global MATVEC_IMPL
-                    # mutation, ADVICE r2; planes27 measured 6.3x the planes
-                    # schedule at 1.59M dofs, tools/planes27_ab.py).
+                    # mutation, ADVICE r2). planes beats planes27 INSIDE
+                    # fused solve programs by ~7 ms/MG-CG-iteration at
+                    # 1.59M dofs (0.887 vs 1.064 s solve wall, round-3
+                    # solve-level A/B in BENCH_extra.json `config` records;
+                    # planes27's 6x standalone-matvec win was an artifact
+                    # of batched-dispatch timing, tools/solve_ab.py).
                     # Grid-shaped state sidesteps TPU miscompile #5
                     # (flat elementwise on matvec outputs corrupts at
                     # ~1.6M dofs; see structured.matvec_g). With an f64
                     # config dtype the inner iterations run in f32 under
                     # f64 iterative refinement (TPU f64 is ~10x emulated;
                     # the bench big-solve pattern, BASELINE.md).
-                    st_p = st_op.with_impl("planes27")
+                    st_p = st_op.with_impl("planes")
                     use_ir = jnp.dtype(dtype) == jnp.dtype(jnp.float64)
                     inner_dtype = jnp.float32 if use_ir else dtype
                     st_i = st_p.astype(inner_dtype)
@@ -431,11 +444,12 @@ def run(
                             # across refinement cycles (<=120 per cycle)
                             budget = maxiter if maxiter else 600
 
-                            def _inner(r, cyc_rtol, cap):
+                            def _inner(r, cyc_rtol, cap, rn):
                                 res = cg.pcg_chunked(
                                     _st_mv_g, r.astype(inner_dtype),
                                     _st_pc_g, st_ops, rtol=cyc_rtol,
-                                    maxiter=cap, chunk=2,
+                                    maxiter=cap, chunk=4, pipeline=True,
+                                    bnorm=rn,
                                 )
                                 return res.x, res.iters
 
@@ -469,7 +483,7 @@ def run(
                                 _st_mv_g, b, _st_pc_g, st_ops,
                                 rtol=rtol if rtol else 1e-9,
                                 maxiter=maxiter if maxiter else 400,
-                                chunk=2, x0=x0g,
+                                chunk=4, pipeline=True, x0=x0g,
                             )
                             x = res.x * keep + ubc_g * mf_g
                             return cg.CGResult(
@@ -571,7 +585,8 @@ def run(
                     ob = bs_mod.halo_matvec_g(
                         opp, vals, _cm2b(x * keep), dev_mesh, a, b_)
                     ax_ = _b2cm(ob) * keep + x * mfc
-                    return Fv - ax_
+                    r = Fv - ax_
+                    return r, jnp.sqrt(jnp.sum(r * r))
 
                 def _cg_solve(op_unused, F, dg_unused, bc_dofs, bc_vals,
                               x0):
@@ -594,10 +609,11 @@ def run(
                     )
                     budget = maxiter if maxiter else 600
 
-                    def _inner(r, cyc_rtol, cap):
+                    def _inner(r, cyc_rtol, cap, rn):
                         res = cg.pcg_chunked(
                             _hmv_i, r.astype(inner_dtype), _hpc, hops,
-                            rtol=cyc_rtol, maxiter=cap, chunk=2,
+                            rtol=cyc_rtol, maxiter=cap, chunk=4,
+                            pipeline=True, bnorm=rn,
                         )
                         return res.x, res.iters
 
@@ -708,7 +724,8 @@ def run(
                         keep = 1.0 - mfc
                         av = hg_mod.matvec_cm_sharded(op_, x_ * keep,
                                                       dev_mesh)
-                        return b_ - (av * keep + x_ * mfc)
+                        r = b_ - (av * keep + x_ * mfc)
+                        return r, jnp.sqrt(jnp.sum(r * r))
 
                     def _cg_solve(op_unused, F, dg_unused, bc_dofs,
                                   bc_vals, x0):
@@ -731,11 +748,11 @@ def run(
                         )
                         budget = maxiter if maxiter else 600
 
-                        def _inner(r, cyc_rtol, cap):
+                        def _inner(r, cyc_rtol, cap, rn):
                             res = cg.pcg_chunked(
                                 _hgmv, r.astype(inner_dtype), _hgpc,
                                 hg_ops, rtol=cyc_rtol, maxiter=cap,
-                                chunk=2,
+                                chunk=4, pipeline=True, bnorm=rn,
                             )
                             return res.x, res.iters
 
@@ -837,7 +854,8 @@ def run(
                         keep = 1.0 - mfc
                         av = sop.matvec((x2 * keep).reshape(-1),
                                         blocks=blocks)
-                        return b2 - (av.reshape(x2.shape) * keep + x2 * mfc)
+                        r = b2 - (av.reshape(x2.shape) * keep + x2 * mfc)
+                        return r, jnp.sqrt(jnp.sum(r * r))
 
                     sops_i = {"blocks": blocks_i, "hier": hier_i,
                               "mf": mf_i2}
@@ -860,10 +878,11 @@ def run(
                         )
                         budget = maxiter if maxiter else 600
 
-                        def _inner(r, cyc_rtol, cap):
+                        def _inner(r, cyc_rtol, cap, rn):
                             res = cg.pcg_chunked(
                                 _smv, r.astype(inner_dtype), _spc, sops_i,
-                                rtol=cyc_rtol, maxiter=cap, chunk=2,
+                                rtol=cyc_rtol, maxiter=cap, chunk=4,
+                                pipeline=True, bnorm=rn,
                             )
                             return res.x, res.iters
 
@@ -959,11 +978,12 @@ def run(
                         # config.maxiter = TOTAL inner budget across cycles
                         budget = maxiter if maxiter else 600
 
-                        def _inner(r, cyc_rtol, cap):
+                        def _inner(r, cyc_rtol, cap, rn):
                             res = cg.pcg_chunked(
                                 _amg_mv_cm, r.astype(inner_dtype),
                                 _amg_pc_cm, amg_ops, rtol=cyc_rtol,
-                                maxiter=cap, chunk=2,
+                                maxiter=cap, chunk=4, pipeline=True,
+                                bnorm=rn,
                             )
                             return res.x, res.iters
 
@@ -998,7 +1018,7 @@ def run(
                             _amg_mv_cm, b, _amg_pc_cm, amg_ops,
                             rtol=rtol if rtol else 1e-9,
                             maxiter=maxiter if maxiter else 400,
-                            x0=x0cm,
+                            x0=x0cm, pipeline=True,
                         )
                         x = res.x * keep + ubc_cm * mf_cm
                         return cg.CGResult(

@@ -113,3 +113,40 @@ def test_pcg_chunked_matches_pcg():
     assert float(res_c.resnorm) <= 1e-10 * bn
     nrm = float(jnp.linalg.norm(res.x))
     assert float(jnp.linalg.norm(res_c.x - res.x)) < 1e-6 * nrm
+
+    # the speculative 1-deep pipeline must produce the identical iterate
+    # sequence (same programs, same chunk boundaries — only the dispatch
+    # order changes), so x matches pcg_chunked bit-for-bit and convergence
+    # is reported at the same chunk count
+    res_p = cg.pcg_chunked(mv, b, pc, op, rtol=1e-10, maxiter=3000, chunk=7,
+                           pipeline=True)
+    assert int(res_p.iters) == int(res_c.iters)
+    assert float(jnp.linalg.norm(res_p.x - res_c.x)) == 0.0
+    assert float(res_p.resnorm) <= 1e-10 * bn
+
+
+def test_pcg_chunked_midchunk_convergence_is_nan_safe():
+    """CG that converges MID-CHUNK must not poison the remaining unrolled
+    iterations: with an identity operator the exact solution lands after
+    one iteration (r becomes exactly 0, rz -> 0), and the unguarded
+    alpha = rz/pAp of iterations 2..chunk was 0/0 = NaN (observed as an
+    all-NaN stepper solve on a prescribed-displacement lattice deck).
+    The guarded scalar alpha/beta freeze the state instead."""
+    from fem_tpu.solver import cg
+
+    rng = np.random.default_rng(0)
+    b = jnp.asarray(rng.standard_normal(64), jnp.float32)
+
+    def mv(ops, v):
+        return v
+
+    def pc(ops, r):
+        return r
+
+    res = cg.pcg_chunked(mv, b, pc, None, rtol=1e-7, maxiter=20, chunk=5)
+    assert bool(jnp.all(jnp.isfinite(res.x)))
+    assert float(jnp.linalg.norm(res.x - b)) == 0.0
+    res_p = cg.pcg_chunked(mv, b, pc, None, rtol=1e-7, maxiter=20, chunk=5,
+                           pipeline=True)
+    assert bool(jnp.all(jnp.isfinite(res_p.x)))
+    assert float(jnp.linalg.norm(res_p.x - b)) == 0.0
