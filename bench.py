@@ -389,17 +389,20 @@ def bench_amg_solve(n=None):
 
     @jax.jit
     def true_resid(fop, Fv, mf, x2):
+        # residual + f32 cast + norm in ONE program/pull (relay round trips
+        # dominate the steady solve, tools/sync_cost.py)
         keep = 1.0 - mf
         ax = mv_cm(fop, x2 * keep) * keep + x2 * mf
-        return Fv * keep - ax
+        r = Fv * keep - ax
+        return r, r.astype(jnp.float32), jnp.sqrt(jnp.sum(r * r))
 
     def solve():
         x = jnp.zeros_like(F_cm, dtype=jnp.float64)
         inner = 0
         r0 = None
         for k in range(6):
-            r = true_resid(op64, F_cm, mf64_cm, x)
-            rn = float(jnp.sqrt(jnp.sum(r * r)))
+            r, r32, rn_dev = true_resid(op64, F_cm, mf64_cm, x)
+            rn = float(rn_dev)
             if r0 is None:
                 r0 = rn
             if rn <= 1e-9 * r0:
@@ -409,9 +412,9 @@ def bench_amg_solve(n=None):
             # cycle otherwise overshoots the 1e-9 target ~100x (wasted
             # iterations)
             cyc_rtol = float(np.clip(0.5 * 1e-9 * r0 / rn, 1e-5, 0.5))
-            res = cg.pcg_chunked(mv32, r.astype(jnp.float32), pc32,
+            res = cg.pcg_chunked(mv32, r32, pc32,
                                  (op32, h32), rtol=cyc_rtol, maxiter=120,
-                                 chunk=2)
+                                 chunk=4, pipeline=True, bnorm=rn)
             inner += int(res.iters)
             x = x + res.x.astype(jnp.float64) * (1.0 - mf64_cm)
         return x, inner, rn / r0
