@@ -121,12 +121,19 @@ class System:
 
     # ---------------- elastic operator ----------------
 
-    def _continuum(self):
+    def _continuum(self, need_ke: bool = True):
+        """Continuum (non-cohesive) blocks with lazily-built per-element
+        data. need_ke=False skips materializing the (ne, ndof, ndof)
+        element stiffness: stress recovery / creep-state callers only need
+        D, and the k_e einsum's tiny trailing dims tile-pad ~32x on TPU —
+        at 207k 2D elements the pointless compile OOMed the chip
+        (23 GB > 15.75 GB HBM) after the matrix-free Newton solve had
+        already finished without ever needing k_e."""
         out = []
         for name, e in self.blocks.items():
             if e["is_coh"]:
                 continue
-            if "ke" not in e:
+            if need_ke and "ke" not in e:
                 # Lazy: the fused matvec path never materializes k_e; only the
                 # dense/stored paths pay for it. Uses the isotropic fast
                 # kernel (identical to B^T D B to machine precision).
@@ -278,7 +285,7 @@ class System:
         """Zero per-integration-point stress state for every continuum block
         with a creeping material (visc > 0): {name: (ne, nip, cpdim)}."""
         state = {}
-        for name, e in self._continuum():
+        for name, e in self._continuum(need_ke=False):
             visc = self._mats[np.asarray(self.problem.blocks[name].mat), 2]
             if (visc > 0).any():
                 state[name] = jnp.zeros(
@@ -378,7 +385,7 @@ class System:
         """
         sums = jnp.zeros((self.nnds, self.cpdim), dtype=self.dtype)
         counts = jnp.zeros(self.nnds, dtype=self.dtype)
-        for _, e in self._continuum():
+        for _, e in self._continuum(need_ke=False):
             et = e["et"]
             ue = du[e["edofs"]]
             sig_ip = stiff_ops.element_stress(et, e["ecoords"], ue, e["D"])
