@@ -385,16 +385,28 @@ class System:
         """
         sums = jnp.zeros((self.nnds, self.cpdim), dtype=self.dtype)
         counts = jnp.zeros(self.nnds, dtype=self.dtype)
+        # Element-sliced: the per-element B/stress intermediates carry tiny
+        # trailing dims that tile-pad ~40x on TPU, so one fused pass over a
+        # few-hundred-k-element block can demand more HBM than the chip has
+        # (the k_e sibling of this blowup OOMed at 207k 2D elements). Slices
+        # bound the padded temp to ~2 GB; at most two program shapes (full
+        # slice + remainder) compile.
+        CHUNK_E = 65536
         for _, e in self._continuum(need_ke=False):
             et = e["et"]
-            ue = du[e["edofs"]]
-            sig_ip = stiff_ops.element_stress(et, e["ecoords"], ue, e["D"])
-            sig_nodes = stiff_ops.nodal_stress(et, sig_ip)  # (ne, nn, cpdim)
-            conn_flat = e["conn"].reshape(-1)
-            sums = sums.at[conn_flat].add(
-                sig_nodes.reshape(-1, self.cpdim)
-            )
-            counts = counts.at[conn_flat].add(1.0)
+            ne = e["conn"].shape[0]
+            for lo in range(0, ne, CHUNK_E):
+                hi = min(lo + CHUNK_E, ne)
+                ue = du[e["edofs"][lo:hi]]
+                D = e["D"][lo:hi] if e["D"].ndim == 3 else e["D"]
+                sig_ip = stiff_ops.element_stress(
+                    et, e["ecoords"][lo:hi], ue, D)
+                sig_nodes = stiff_ops.nodal_stress(et, sig_ip)
+                conn_flat = e["conn"][lo:hi].reshape(-1)
+                sums = sums.at[conn_flat].add(
+                    sig_nodes.reshape(-1, self.cpdim)
+                )
+                counts = counts.at[conn_flat].add(1.0)
         counts = jnp.maximum(counts, 1.0)
         return sums / counts[:, None]
 
