@@ -619,19 +619,30 @@ def _mf_residual_jit(fop, ecoords, props, edofs, dt, F_ext, aggregate_u,
 @functools.partial(
     jax.jit, static_argnames=("quirks", "reference_form")
 )
-def _mf_trial_norm_jit(fop, ecoords, props, edofs, dt, F_ext, aggregate_u,
+def _mf_trial_full_jit(fop, ecoords, props, edofs, dt, F_ext, aggregate_u,
                        keep, mf, ubc, du, delta, lam, *, quirks: bool,
                        reference_form: bool):
-    """One line-search trial: pin(du + lam*delta), residual, norm — a single
-    dispatch returning one scalar (backtracking usually accepts within 1-2
-    trials, so a host loop over single-trial dispatches beats a batched
-    all-lambdas program)."""
+    """One line-search trial returning everything the Newton loop tail
+    needs: the pinned trial iterate, its residual ARRAY, and one stacked
+    (3,) stats vector [trial rnorm, step norm, trial norm].
+
+    Replaces the former 4 blocking relay pulls per accepted Newton
+    iteration (trial norm, then a fresh residual dispatch + rnorm pull,
+    step-norm pull, du-norm pull) with ONE — each blocking pull costs
+    ~30 ms through this image's relay (tools/sync_cost.py), so this is
+    ~90 ms saved per Newton iteration at ANY problem size."""
     trial = (du + lam * delta) * keep + ubc * mf
     R = _mf_residual_jit.__wrapped__(
         fop, ecoords, props, edofs, dt, F_ext, aggregate_u,
         keep, mf, ubc, trial, quirks=quirks, reference_form=reference_form,
     )
-    return jnp.sqrt(jnp.sum(R * R))
+    step = trial - du
+    stats = jnp.stack([
+        jnp.sqrt(jnp.sum(R * R)),
+        jnp.sqrt(jnp.sum(step * step)),
+        jnp.sqrt(jnp.sum(trial * trial)),
+    ])
+    return trial, R, stats
 
 
 @functools.partial(jax.jit, static_argnames=("quirks",))
@@ -991,26 +1002,38 @@ def solve_step_matfree(
             inner_eff = max(inner_rtol, 3e-5)
             gate_rtol = inner_eff
             nnds_cm = n // system.pdim
+            # Size-adaptive chunk: per-iteration compute (matvec + V-cycle)
+            # scales ~linearly with ndof (~6 ms at 105k on the chip), while
+            # the per-chunk convergence pull is a fixed ~30 ms through the
+            # relay. Below ~256k dofs a 2-iteration chunk (~12 ms work)
+            # cannot hide the pull even pipelined — bigger chunks amortize
+            # it (solve-level A/B tools/coh_ab.py @105k: chunk2 179 ms,
+            # chunk4 139 ms, chunk6 123 ms steady). Above that, chunk-2
+            # work already exceeds the pull and larger chunks only add
+            # overshoot (convergence quantizes to chunk multiples).
+            inner_chunk = 6 if n < 256_000 else 2
 
-            def _solve32(rflat, cap):
+            def _solve32(rflat, cap, bn=None):
                 """One f32 chunked AMG-CG solve of J delta = rflat, flat
                 in/out; cm conversions at the boundary on the lattice
-                tier."""
+                tier. `bn` = ||rflat|| when the caller already pulled it
+                (saves the ~30 ms blocking bnorm pull inside pcg_chunked)."""
                 if use_cm:
                     rcm = rflat.astype(jnp.float32).reshape(
                         nnds_cm, system.pdim).T
                     res_ = cg_mod.pcg_chunked(
                         mv_fn, rcm, pc_fn, ops,
-                        rtol=inner_eff, maxiter=cap, chunk=2,
-                        pipeline=True)
+                        rtol=inner_eff, maxiter=cap, chunk=inner_chunk,
+                        pipeline=True, bnorm=bn)
                     return res_.x.T.reshape(-1), res_
                 res_ = cg_mod.pcg_chunked(
                     mv_fn, rflat.astype(jnp.float32), pc_fn, ops,
-                    rtol=inner_eff, maxiter=cap, chunk=2,
-                    pipeline=True)
+                    rtol=inner_eff, maxiter=cap, chunk=inner_chunk,
+                    pipeline=True, bnorm=bn)
                 return res_.x, res_
 
-            x32, res = _solve32(rhs, 200)
+            rhs_norm = float(jnp.linalg.norm(rhs))
+            x32, res = _solve32(rhs, 200, bn=rhs_norm)
             delta = x32.astype(rhs.dtype)
             inner_iters = int(res.iters)
         else:
@@ -1021,7 +1044,7 @@ def solve_step_matfree(
             indefinite = bool(res.indefinite)
             delta = res.x
             inner_iters = int(res.iters)
-        rhs_norm = float(jnp.linalg.norm(rhs))
+            rhs_norm = float(jnp.linalg.norm(rhs))
         delta = jnp.where(bc_mask, 0.0, delta)
         # Trust nothing CG claims on an indefinite system: check negative
         # curvature AND the TRUE residual of the direction (one matvec) —
@@ -1050,7 +1073,7 @@ def solve_step_matfree(
             for _ in range(2):
                 if not np.isfinite(rel) or rel <= 10.0 * gate_rtol:
                     break
-                corr32, corr_res = _solve32(r2, 100)
+                corr32, corr_res = _solve32(r2, 100, bn=true_res)
                 inner_iters += int(corr_res.iters)
                 delta = jnp.where(bc_mask, 0.0,
                                   delta + corr32.astype(rhs.dtype))
@@ -1077,26 +1100,34 @@ def solve_step_matfree(
         return delta, used_gmres, inner_iters
 
     def line_search(du, delta, rnorm):
+        """Backtracking search; returns the full accepted-trial bundle
+        (lam, rnorm, trial du, trial residual array, step/du norms) so the
+        loop tail never re-dispatches the residual or re-pulls norms."""
         lam = 1.0
-        best_lam, best_r = None, rnorm
+        best, best_r = None, rnorm
         for _ in range(20):
             if use_jit_res:
-                r_trial = float(_mf_trial_norm_jit(
+                trial, R_t, stats = _mf_trial_full_jit(
                     fop, e_coh["ecoords"], e_coh["props"], e_coh["edofs"],
                     dtc, F_ext, aggregate_u, keep, mf, ubc, du, delta,
                     jnp.asarray(lam, dtype=F_ext.dtype),
                     quirks=quirks, reference_form=reference_form,
-                ))
+                )
+                stats = np.asarray(stats)  # ONE blocking pull per trial
+                r_trial = float(stats[0])
+                step_n, du_n = float(stats[1]), float(stats[2])
             else:
-                r_trial = float(jnp.linalg.norm(
-                    residual(pin(du + lam * delta))
-                ))
+                trial = pin(du + lam * delta)
+                R_t = residual(trial)
+                r_trial = float(jnp.linalg.norm(R_t))
+                step_n = du_n = None
             if np.isfinite(r_trial) and r_trial < best_r:
-                best_lam, best_r = lam, r_trial
+                best = (lam, r_trial, trial, R_t, step_n, du_n)
+                best_r = r_trial
                 if r_trial <= (1.0 - 1e-4 * lam) * rnorm:
                     break
             lam *= 0.5
-        return best_lam
+        return best
 
     ew = getattr(config, "forcing", "ew") == "ew"
     log = log or (lambda m: None)
@@ -1125,10 +1156,10 @@ def solve_step_matfree(
         log(f"newton it {iters}: inner done (rtol {inner_rtol:.1e}, "
             f"cg_iters={n_inner}, gmres={used_gmres})")
         _t0 = _time.perf_counter()
-        best_lam = line_search(du, delta, rnorm)
+        best = line_search(du, delta, rnorm)
         tw["linesearch"] += _time.perf_counter() - _t0
         if (
-            best_lam is None
+            best is None
             and not used_gmres
             and getattr(config, "inner_krylov", "auto") != "cg"
         ):
@@ -1143,25 +1174,30 @@ def solve_step_matfree(
             )
             delta = jnp.where(bc_mask, 0.0, gres.x)
             used_gmres = True
-            best_lam = line_search(du, delta, rnorm)
-        if best_lam is None:
+            best = line_search(du, delta, rnorm)
+        if best is None:
             break
         if used_gmres:
             fallbacks += 1
-        du_new = pin(du + best_lam * delta)
-        step_norm = float(jnp.linalg.norm(du_new - du))
+        best_lam, r_new, du_new, R_new, step_norm, du_norm = best
+        _t0 = _time.perf_counter()
+        if step_norm is None:
+            # eager (sharded) tier: norms were not fused into the trial
+            step_norm = float(jnp.linalg.norm(du_new - du))
+            du_norm = float(jnp.linalg.norm(du_new))
         du = du_new
         iters += 1
-        _t0 = _time.perf_counter()
-        R = residual(du)
+        # the accepted trial's residual IS the new Newton residual — reuse
+        # the array and its already-pulled norm instead of re-dispatching
+        R = R_new
         prev_rnorm = rnorm
-        rnorm = float(jnp.linalg.norm(R))
+        rnorm = r_new
         tw["residual"] += _time.perf_counter() - _t0
         log(f"newton it {iters}: rnorm={rnorm:.3e} lam={best_lam}")
         if rnorm <= tol:
             converged = True
             break
-        if step_norm <= config.newton_stol * max(float(jnp.linalg.norm(du)), 1e-300):
+        if step_norm <= config.newton_stol * max(du_norm, 1e-300):
             converged = True
             break
 

@@ -82,18 +82,21 @@ if has_cm:
           f"{timeit(newton._mf_amg_pc_cm, ops_cm, v_cm):.2f} ms", flush=True)
 
 
-def solve(mv, pc, ops, r, tag):
+def solve(mv, pc, ops, r, tag, chunk=2, pipeline=False):
     t0 = time.perf_counter()
     res = cg_mod.pcg_chunked(mv, r, pc, ops, rtol=3e-5, maxiter=200,
-                             chunk=2)
+                             chunk=chunk, pipeline=pipeline)
     _ = float(jnp.sum(res.x))
     cold = time.perf_counter() - t0
-    t0 = time.perf_counter()
-    res = cg_mod.pcg_chunked(mv, r, pc, ops, rtol=3e-5, maxiter=200,
-                             chunk=2)
-    _ = float(jnp.sum(res.x))
-    dt = time.perf_counter() - t0
-    print(f"{tag}: {dt * 1e3:.0f} ms steady ({int(res.iters)} its, "
+    best = None
+    for _rep in range(3):
+        t0 = time.perf_counter()
+        res = cg_mod.pcg_chunked(mv, r, pc, ops, rtol=3e-5, maxiter=200,
+                                 chunk=chunk, pipeline=pipeline)
+        _ = float(jnp.sum(res.x))
+        dt = time.perf_counter() - t0
+        best = dt if best is None else min(best, dt)
+    print(f"{tag}: {best * 1e3:.0f} ms steady ({int(res.iters)} its, "
           f"cold {cold:.1f}s)", flush=True)
 
 
@@ -101,6 +104,14 @@ solve(newton._mf_jac_mv, newton._mf_amg_pc, ops_flat, v, "flat inner solve")
 if has_cm:
     solve(newton._mf_jac_mv_cm, newton._mf_amg_pc_cm, ops_cm, v_cm,
           "cm inner solve  ")
+    # chunk/pipeline sweep on the production (cm) tier: the inner solves
+    # are short (6-26 its), so the chunked dispatch's per-chunk ~30 ms
+    # blocking pull can dominate — pipeline hides it only when chunk
+    # compute >= the pull, larger chunks amortize it at overshoot cost
+    for ch in (2, 4, 6):
+        for pipe in (False, True):
+            solve(newton._mf_jac_mv_cm, newton._mf_amg_pc_cm, ops_cm, v_cm,
+                  f"cm chunk{ch} pipe={int(pipe)}", chunk=ch, pipeline=pipe)
 
 # degree-2 variant of the same hierarchy (cheaper smoothing, more CG its)
 h2 = amg_mod.AMGPrecond(levels=h.levels, coarse_inv=h.coarse_inv, degree=2)
