@@ -304,15 +304,17 @@ class System:
         b = self.problem.blocks[name]
         visc = jnp.asarray(self._mats[np.asarray(b.mat), 2], dtype=self.dtype)
         expn = jnp.asarray(self._mats[np.asarray(b.mat), 3], dtype=self.dtype)
+        from fem_tpu.solver import direct
+
         D = e["D"] if "D" in e else dmat_ops.dmat(e["E"], e["nu"], self.pdim)
-        S = jnp.linalg.inv(D)  # (ne, cpdim, cpdim)
+        S = direct.inv_in_jit(D)  # (ne, cpdim, cpdim); f64-safe on TPU
         if self.pdim == 2:
             beta = dmat_ops.creep_beta2d(sigma_ip, visc[:, None], expn[:, None])
             betad = dmat_ops.creep_betad2d(sigma_ip, visc[:, None], expn[:, None])
         else:
             beta = dmat_ops.creep_beta3d(sigma_ip, visc[:, None], expn[:, None])
             betad = dmat_ops.creep_betad3d(sigma_ip, visc[:, None], expn[:, None])
-        D_eff = jnp.linalg.inv(S[:, None, :, :] + self.dt * betad)
+        D_eff = direct.inv_in_jit(S[:, None, :, :] + self.dt * betad)
         return D_eff, beta
 
     def creep_force(self, creep_state):

@@ -49,6 +49,68 @@ def solve(K, F):
     return jnp.linalg.solve(K, F)
 
 
+def solve_in_jit(J, rhs, refine: int = 3, mixed=None):
+    """Dense solve usable INSIDE a jitted program on any backend.
+
+    On CPU (or for f32 operands) this is jnp.linalg.solve. For f64 on the
+    TPU-class backends — where XLA's LuDecomposition expander supports only
+    f32/c64, so a traced f64 solve cannot compile at all — it row-
+    equilibrates (the 1e30 penalty-BC rows become ~unit rows, restoring the
+    physical conditioning), LU-factorizes once in f32, and recovers f64
+    accuracy with `refine` iterative-refinement passes: the same
+    mixed-precision pattern the production Krylov paths use (solver/mixed.py,
+    MUMPS role per main.F90:354-390). The backend test runs at trace time,
+    so CPU programs are bit-identical to the plain solve. `mixed` overrides
+    the trace-time backend test (tests exercise the TPU path on CPU)."""
+    if mixed is None:
+        mixed = J.dtype == jnp.float64 and jax.default_backend() != "cpu"
+    if not mixed:
+        return jnp.linalg.solve(J, rhs)
+    s = 1.0 / jnp.maximum(jnp.max(jnp.abs(J), axis=1), 1e-300)
+    lu, piv = jsl.lu_factor((J * s[:, None]).astype(jnp.float32))
+
+    def corr(r):  # f64 residual -> f64 correction via the f32 factors
+        y = jsl.lu_solve((lu, piv), (r * s).astype(jnp.float32))
+        return y.astype(jnp.float64)
+
+    x = corr(rhs)
+    for _ in range(refine):
+        x = x + corr(rhs - jnp.matmul(
+            J, x, precision=jax.lax.Precision.HIGHEST))
+    return x
+
+
+def inv_in_jit(A, refine: int = 2, mixed=None):
+    """Batched small-matrix inverse usable INSIDE jit on any backend.
+
+    CPU / f32: jnp.linalg.inv. f64 on TPU-class backends (no f64
+    LuDecomposition): row-equilibrate, factorize in f32, back-substitute
+    against I, then Newton-refine X <- X + X(I - A X) in f64 — one step
+    squares the f32 error (~1e-7 -> ~1e-14), two steps for margin. Used by
+    the viscoelastic creep correction's (S + dt*beta')^-1
+    (m_local.F90:127-145 role). `mixed` overrides the trace-time backend
+    test (tests exercise the TPU path on CPU)."""
+    if mixed is None:
+        mixed = A.dtype == jnp.float64 and jax.default_backend() != "cpu"
+    if not mixed:
+        return jnp.linalg.inv(A)
+    s = 1.0 / jnp.maximum(jnp.max(jnp.abs(A), axis=-1), 1e-300)
+    As = A * s[..., :, None]
+    lu, piv = jsl.lu_factor(As.astype(jnp.float32))
+    eye = jnp.broadcast_to(
+        jnp.eye(A.shape[-1], dtype=jnp.float32),
+        As.shape,
+    )
+    X = jsl.lu_solve((lu, piv), eye).astype(jnp.float64)
+    hi = jax.lax.Precision.HIGHEST
+    eye64 = eye.astype(jnp.float64)
+    for _ in range(refine):
+        R = eye64 - jnp.matmul(As, X, precision=hi)
+        X = X + jnp.matmul(X, R, precision=hi)
+    # As = diag(s) A, so inv(A) = inv(As) diag(s): scale X's columns by s.
+    return X * s[..., None, :]
+
+
 def apply_penalty_bcs(K, F, bc_dofs, bc_step_vals, penalty):
     """Reference penalty BC application (ApplyKBC m_global.F90:264-299 +
     EnforceBCForce m_global.F90:439-455): diag <- penalty (insert),

@@ -47,6 +47,19 @@ def _host(x):
     return float(x)
 
 
+def _norm_safe(x):
+    """2-norm that survives the TPU f64 emulation's f32 EXPONENT range
+    (double-word f32 arithmetic: 1e300 is inf on the chip). Penalty-BC
+    residual rows are ~1e30, whose squares overflow to inf/nan inside a
+    plain jnp.linalg.norm — the golden cohesive deck then reports
+    'converged' at 0 iterations on TPU. Scale by max|x| before squaring;
+    bit-identical cost class, jit- and eager-safe."""
+    m = jnp.max(jnp.abs(x))
+    m = jnp.where(m > 0, m, jnp.ones_like(m))
+    y = x / m
+    return m * jnp.sqrt(jnp.sum(y * y))
+
+
 class NewtonResult(NamedTuple):
     du: jnp.ndarray
     iters: int
@@ -116,14 +129,15 @@ def solve_step(
 
     J = jacobian(du)
     R = residual(du, J)
-    r0 = _host(jnp.linalg.norm(R))
+    r0 = _host(_norm_safe(R))
     rnorm = r0
     tol = max(config.newton_rtol * r0, config.newton_atol)
 
     iters = 0
     converged = rnorm <= tol
+    kref = jnp.max(jnp.abs(K_el))  # physical scale for null-pivot detection
     while not converged and iters < config.newton_maxit:
-        delta = _robust_solve(J, -R)
+        delta = _robust_solve(J, -R, ref=kref)
         # Backtracking line search (SNESNEWTONLS-style sufficient decrease).
         lam = 1.0
         best_lam, best_r = None, rnorm
@@ -132,7 +146,7 @@ def solve_step(
             if bc_mode == "eliminate":
                 du_trial = jnp.where(bc_mask, ubc, du_trial)
             R_trial = residual(du_trial, J)
-            r_trial = _host(jnp.linalg.norm(R_trial))
+            r_trial = _host(_norm_safe(R_trial))
             if jnp.isfinite(jnp.asarray(r_trial)) and r_trial < best_r:
                 best_lam, best_r = lam, r_trial
                 if r_trial <= (1.0 - 1e-4 * lam) * rnorm:
@@ -145,16 +159,16 @@ def solve_step(
         du_new = du + best_lam * delta
         if bc_mode == "eliminate":
             du_new = jnp.where(bc_mask, ubc, du_new)
-        step_norm = _host(jnp.linalg.norm(du_new - du))
+        step_norm = _host(_norm_safe(du_new - du))
         du = du_new
         iters += 1
         J = jacobian(du)
         R = residual(du, J)
-        rnorm = _host(jnp.linalg.norm(R))
+        rnorm = _host(_norm_safe(R))
         if rnorm <= tol:
             converged = True
             break
-        if step_norm <= config.newton_stol * max(_host(jnp.linalg.norm(du)), 1e-300):
+        if step_norm <= config.newton_stol * max(_host(_norm_safe(du)), 1e-300):
             converged = True
             break
 
@@ -227,19 +241,30 @@ def _dense_newton_iterate(
         return jnp.where(bc_mask, ubc, du) if eliminate else du
 
     def robust_solve(J, rhs):
-        # null-pivot regularization (MUMPS icntl(24)=1 equivalent), jit-safe
+        # Null-pivot regularization (MUMPS icntl(24)=1 equivalent), jit-safe.
+        # The null threshold is relative to the PHYSICAL stiffness scale
+        # (max |K_el|), NOT max row of J: with penalty BCs the J diagonal
+        # carries 1e30 rows, and a max-of-J reference flags every physical
+        # row as null (delta ~ 0, Newton stalls — found live on the golden
+        # cohesive deck; MUMPS detects null pivots AFTER equilibration, so
+        # penalty rows never poison its scale either, main.F90:365-371).
         row_scale = jnp.max(jnp.abs(J), axis=1)
-        ref = jnp.max(row_scale)
+        ref = jnp.maximum(jnp.max(jnp.abs(K_el)), 1e-300)
         nullf = (row_scale <= 1e-12 * ref).astype(J.dtype)
         keep = 1.0 - nullf
         J2 = J * keep[:, None] * keep[None, :] + jnp.diag(nullf)
         rhs2 = rhs * keep
-        x = jnp.linalg.solve(J2, rhs2)
-        return jax.lax.cond(
-            jnp.all(jnp.isfinite(x)),
-            lambda: x,
-            lambda: jnp.linalg.lstsq(J2, rhs2, rcond=None)[0],
-        )
+        x = direct.solve_in_jit(J2, rhs2)
+        if J.dtype == jnp.float64 and jax.default_backend() != "cpu":
+            # lstsq lowers to SVD/QR — no f64 TPU lowering; retry the
+            # refined mixed-precision LU on a Tikhonov-shifted system.
+            def fallback():
+                shift = (1e-8 * ref) * jnp.eye(J.shape[0], dtype=J.dtype)
+                return direct.solve_in_jit(J2 + shift, rhs2)
+        else:
+            def fallback():
+                return jnp.linalg.lstsq(J2, rhs2, rcond=None)[0]
+        return jax.lax.cond(jnp.all(jnp.isfinite(x)), lambda: x, fallback)
 
     J = jacobian(du)
     R = residual(du)
@@ -247,7 +272,7 @@ def _dense_newton_iterate(
 
     # backtracking line search, same policy as solve_step
     def trial_r(lam):
-        return jnp.linalg.norm(residual(pin(du + lam * delta)))
+        return _norm_safe(residual(pin(du + lam * delta)))
 
     def cond(c):
         lam, best_lam, best_r, tries, done = c
@@ -272,10 +297,10 @@ def _dense_newton_iterate(
     _, best_lam, best_r, _, _ = jax.lax.while_loop(cond, body, init)
     found = jnp.isfinite(best_lam)
     du_new = pin(du + jnp.where(found, best_lam, 0.0) * delta)
-    step_norm = jnp.linalg.norm(du_new - du)
-    r_new = jnp.linalg.norm(residual(du_new))
+    step_norm = _norm_safe(du_new - du)
+    r_new = _norm_safe(residual(du_new))
     return du_new, jnp.stack(
-        [r_new, step_norm, jnp.linalg.norm(du_new),
+        [r_new, step_norm, _norm_safe(du_new),
          found.astype(du.dtype)]
     )
 
@@ -344,7 +369,7 @@ def solve_step_jit(
 
     du = pin(du0)
     R0 = residual(du)
-    r0 = _host(jnp.linalg.norm(R0))
+    r0 = _host(_norm_safe(R0))
     rnorm = r0
     tol = max(config.newton_rtol * r0, config.newton_atol)
     iters = 0
@@ -419,18 +444,19 @@ def solve_step_total(
 
     u = pin(aggregate_u + du0)
     R = residual(u)
-    r0 = float(jnp.linalg.norm(R))
+    r0 = float(_norm_safe(R))
     rnorm = r0
     tol = max(config.newton_rtol * r0, config.newton_atol)
     iters = 0
     converged = rnorm <= tol
+    kref = jnp.max(jnp.abs(K_el))  # physical scale for null-pivot detection
     while not converged and iters < config.newton_maxit:
         J = jacobian(u)
-        delta = _robust_solve(J, -R)
+        delta = _robust_solve(J, -R, ref=kref)
         lam = 1.0
         best_lam, best_r = None, rnorm
         for _ in range(25):
-            r_trial = float(jnp.linalg.norm(residual(pin(u + lam * delta))))
+            r_trial = float(_norm_safe(residual(pin(u + lam * delta))))
             if jnp.isfinite(jnp.asarray(r_trial)) and r_trial < best_r:
                 best_lam, best_r = lam, r_trial
                 if r_trial <= (1.0 - 1e-4 * lam) * rnorm:
@@ -439,15 +465,15 @@ def solve_step_total(
         if best_lam is None:
             break
         u_new = pin(u + best_lam * delta)
-        step_norm = float(jnp.linalg.norm(u_new - u))
+        step_norm = float(_norm_safe(u_new - u))
         u = u_new
         iters += 1
         R = residual(u)
-        rnorm = float(jnp.linalg.norm(R))
+        rnorm = float(_norm_safe(R))
         if rnorm <= tol:
             converged = True
             break
-        if step_norm <= config.newton_stol * max(float(jnp.linalg.norm(u)), 1e-300):
+        if step_norm <= config.newton_stol * max(float(_norm_safe(u)), 1e-300):
             converged = True
             break
 
@@ -1219,7 +1245,7 @@ def _coh_diag(system: System, u_total, quirks: bool):
     return out.at[e["edofs"].reshape(-1)].add(d.reshape(-1))
 
 
-def _robust_solve(J, rhs):
+def _robust_solve(J, rhs, ref=None):
     """Dense solve with null-pivot regularization.
 
     The reference relies on MUMPS null-pivot detection (icntl(24)=1 with
@@ -1228,9 +1254,15 @@ def _robust_solve(J, rhs):
     Equivalent here: dofs whose Jacobian row is numerically null are pinned
     (unit diagonal, zero rhs), i.e. they receive no Newton correction; if the
     solve still fails, fall back to a least-squares solution.
+
+    `ref` is the PHYSICAL stiffness scale (max |K_el|). Callers with penalty
+    BCs must pass it: the 1e30 penalty diagonal otherwise dominates
+    max(row_scale) and flags every physical row as null (MUMPS equilibrates
+    before detecting null pivots, so its scale is never penalty-poisoned).
     """
     row_scale = jnp.max(jnp.abs(J), axis=1)
-    ref = jnp.max(row_scale)
+    if ref is None:
+        ref = jnp.max(row_scale)
     null = row_scale <= 1e-12 * ref
     if bool(jnp.any(null)):
         Jr = jnp.where(null[:, None] | null[None, :], 0.0, J)
@@ -1240,5 +1272,10 @@ def _robust_solve(J, rhs):
         J = Jr
     x = direct.solve(J, rhs)
     if not bool(jnp.all(jnp.isfinite(x))):
+        # lstsq has no f64 TPU lowering — run it on the host CPU backend,
+        # the same division of labor as direct.solve's f64 LU.
+        dev = direct._lu_device(J.dtype)
+        if dev is not None:
+            J, rhs = jax.device_put(J, dev), jax.device_put(rhs, dev)
         x = jnp.linalg.lstsq(J, rhs, rcond=None)[0]
     return x

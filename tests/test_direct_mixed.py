@@ -1,0 +1,116 @@
+"""TPU-safe dense solves: mixed-precision LU + IR, penalty-robust null pivots.
+
+Found live on the chip (round 3): (a) XLA's LuDecomposition has no f64 TPU
+lowering, so any traced f64 jnp.linalg.solve fails to compile — the golden
+cohesive deck could not run on the TPU at all; (b) robust_solve's null-pivot
+threshold used max(row_scale), which the 1e30 penalty-BC diagonal dominates,
+flagging every PHYSICAL row as null (delta ~ 0, Newton stalls). MUMPS
+equilibrates before null-pivot detection (main.F90:365-371), so the
+reference never sees either failure. These tests exercise the mixed path
+(mixed=True) on CPU and pin the penalty/eliminate physics agreement.
+"""
+
+import jax.numpy as jnp
+import numpy as np
+
+from fem_tpu.config import Config
+from fem_tpu.io import meshgen
+from fem_tpu.models.system import PENALTY, System
+from fem_tpu.solver import direct, newton
+
+
+def _penalty_system(n=40, nbc=6, seed=0):
+    """SPD system with penalty-style 1e30 diagonal rows inserted."""
+    rng = np.random.default_rng(seed)
+    A = rng.standard_normal((n, n))
+    K = A @ A.T + n * np.eye(n)  # SPD, well conditioned
+    K *= 1e4  # physical stiffness scale
+    x_true = rng.standard_normal(n)
+    bc = rng.choice(n, size=nbc, replace=False)
+    Kp = K.copy()
+    Kp[bc, bc] = float(PENALTY)
+    rhs = K @ x_true
+    rhs[bc] = float(PENALTY) * x_true[bc]
+    return Kp, rhs, x_true
+
+
+def test_solve_in_jit_mixed_matches_f64_with_penalty_rows():
+    Kp, rhs, x_true = _penalty_system()
+    x = direct.solve_in_jit(
+        jnp.asarray(Kp, dtype=jnp.float64),
+        jnp.asarray(rhs, dtype=jnp.float64),
+        mixed=True,
+    )
+    rel = np.linalg.norm(np.asarray(x) - x_true) / np.linalg.norm(x_true)
+    assert rel < 1e-12
+
+
+def test_solve_in_jit_cpu_path_is_plain_solve():
+    Kp, rhs, _ = _penalty_system()
+    a = direct.solve_in_jit(jnp.asarray(Kp), jnp.asarray(rhs), mixed=False)
+    b = jnp.linalg.solve(jnp.asarray(Kp), jnp.asarray(rhs))
+    assert np.array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_inv_in_jit_mixed_batched():
+    rng = np.random.default_rng(1)
+    A = rng.standard_normal((17, 6, 6))
+    A = A @ np.swapaxes(A, -1, -2) + 6.0 * np.eye(6)
+    A *= 1e6  # away from unit scale to exercise the equilibration
+    X = direct.inv_in_jit(jnp.asarray(A, dtype=jnp.float64), mixed=True)
+    err = np.max(np.abs(np.asarray(X) @ A - np.eye(6)))
+    assert err < 1e-10
+
+
+def test_robust_solve_penalty_rows_not_flagged_null():
+    Kp, rhs, x_true = _penalty_system()
+    ref = float(np.max(np.abs(Kp[np.abs(Kp) < 1e20])))  # physical scale
+    x = newton._robust_solve(
+        jnp.asarray(Kp, dtype=jnp.float64),
+        jnp.asarray(rhs, dtype=jnp.float64),
+        ref=ref,
+    )
+    rel = np.linalg.norm(np.asarray(x) - x_true) / np.linalg.norm(x_true)
+    assert rel < 1e-10
+
+
+def test_penalty_newton_matches_eliminate_physics():
+    """Regression for the null-pivot poisoning: with penalty BCs the dense
+    Newton solve must reach the same displacement field as eliminate-mode
+    (penalty 1e30 pins Dirichlet dofs to ~machine precision)."""
+    p = meshgen.cohesive_interface_problem(
+        6, 3, open_disp=0.004, t=1.0, dt=0.25, E=3640.0, nu=0.3,
+        coh_props=(100.0, 0.01, 0.01, 1.0, 0.0, 0.0),
+    )
+    s = System(p, dtype=jnp.float64)
+    cfg = Config()
+    agg = jnp.zeros(s.ndof)
+    du0 = jnp.zeros(s.ndof)
+    F = s.rhs(0.0)
+    r_pen = newton.solve_step(s, cfg, agg, du0, F, bc_mode="penalty")
+    r_eli = newton.solve_step(s, cfg, agg, du0, F, bc_mode="eliminate")
+    assert r_pen.converged and r_eli.converged
+    nd = max(float(jnp.linalg.norm(r_eli.du)), 1e-30)
+    # Penalty mode's rtol test is measured against a 1e30-inflated r0 (the
+    # reference's SNES sees the same penalty-row residual, SNES defaults,
+    # main.F90:206), so it legitimately stops at a looser physical residual
+    # than eliminate mode. The regression guarded here is the null-pivot
+    # poisoning, which produced rel err ~0.99 (garbage), not ~1e-4.
+    assert float(jnp.linalg.norm(r_pen.du - r_eli.du)) < 1e-3 * nd
+
+
+def test_penalty_newton_jit_matches_eliminate_physics():
+    p = meshgen.cohesive_interface_problem(
+        6, 3, open_disp=0.004, t=1.0, dt=0.25, E=3640.0, nu=0.3,
+        coh_props=(100.0, 0.01, 0.01, 1.0, 0.0, 0.0),
+    )
+    s = System(p, dtype=jnp.float64)
+    cfg = Config()
+    agg = jnp.zeros(s.ndof)
+    du0 = jnp.zeros(s.ndof)
+    F = s.rhs(0.0)
+    r_pen = newton.solve_step_jit(s, cfg, agg, du0, F, bc_mode="penalty")
+    r_eli = newton.solve_step_jit(s, cfg, agg, du0, F, bc_mode="eliminate")
+    assert r_pen.converged and r_eli.converged
+    nd = max(float(jnp.linalg.norm(r_eli.du)), 1e-30)
+    assert float(jnp.linalg.norm(r_pen.du - r_eli.du)) < 1e-3 * nd
