@@ -74,6 +74,26 @@ def test_robust_solve_penalty_rows_not_flagged_null():
     assert rel < 1e-10
 
 
+def test_norm_safe_overflow_and_agreement():
+    """_norm_safe must survive entries whose square overflows the dtype's
+    exponent range. On the TPU the emulated f64 carries only the f32
+    exponent (~1e38), so penalty-row residuals ~1e30 overflow a plain
+    jnp.linalg.norm; CPU f64 reproduces the effect at 1e300."""
+    x = jnp.asarray([1e300, -3e300, 2e299], dtype=jnp.float64)
+    plain = jnp.linalg.norm(x)
+    assert not bool(jnp.isfinite(plain))  # the failure mode being fixed
+    safe = newton._norm_safe(x)
+    expect = 3e300 * float(np.linalg.norm([1e300 / 3e300, -1.0, 2e299 / 3e300]))
+    assert bool(jnp.isfinite(safe))
+    assert abs(float(safe) - expect) < 1e-12 * expect
+    # agreement with the plain norm in the normal range
+    rng = np.random.default_rng(3)
+    y = jnp.asarray(rng.standard_normal(101))
+    assert abs(float(newton._norm_safe(y)) - float(jnp.linalg.norm(y))) < 1e-13
+    # all-zero vector: no division by zero, returns 0
+    assert float(newton._norm_safe(jnp.zeros(7))) == 0.0
+
+
 def test_penalty_newton_matches_eliminate_physics():
     """Regression for the null-pivot poisoning: with penalty BCs the dense
     Newton solve must reach the same displacement field as eliminate-mode
