@@ -23,6 +23,7 @@ backtracking line search.
 from __future__ import annotations
 
 import functools
+import os
 from typing import NamedTuple
 
 import jax
@@ -559,6 +560,18 @@ def _mf_amg_pc_cm(ops, r_cm):
                               lambda v: _mf_jac_mv_cm(ops, v), r_cm)
 
 
+def _mf_gmg_pc_cm(ops, r_cm):
+    """Geometric lattice-multigrid V-cycle on cm state (solver/gmg.py):
+    every level a gather-free block stencil. Replaces the SA V-cycle on
+    lattice decks — at 1.01M dofs the SA cycle cost ~90 ms/apply (82 ms in
+    the first coarse level's ELL gather matvec) vs ~1.4 ms for the fine
+    stencil itself; see gmg.py's module docstring for the measurements."""
+    from fem_tpu.solver import gmg as gmg_mod
+
+    return gmg_mod.v_cycle_cm(ops["hier_g"],
+                              lambda v: _mf_jac_mv_cm(ops, v), r_cm)
+
+
 @functools.partial(jax.jit, static_argnames=("quirks",))
 def _coh_ke(ecoords, props, edofs, dt, u_total, *, quirks: bool):
     """Cohesive element tangent blocks at the current iterate."""
@@ -691,7 +704,7 @@ def _mf_true_resid_jit(fop, ecoords, props, edofs, dt, aggregate_u,
     return r, jnp.sqrt(jnp.sum(r * r))
 
 
-def _matfree_amg_cache(system: System):
+def _matfree_amg_cache(system: System, need_sa: bool = False):
     """f32 fused operator + elastic SA-AMG hierarchy + eager float masks for
     the matrix-free Newton inner solves. Built ONCE per System and cached:
     K_el never changes across load steps, so rebuilding the hierarchy every
@@ -707,10 +720,13 @@ def _matfree_amg_cache(system: System):
     (~250 MB through the ~40 MB/s relay at 105k dofs) instead of repaying
     the full host setup + push (~21 s measured)."""
     cache = getattr(system, "_mf_amg32", None)
+    if cache is not None and need_sa and "hier" not in cache:
+        cache = None  # sharded caller needs the SA hierarchy: rebuild
     if cache is None:
         pkey = (float(system.dt), str(system.dtype))
         pc = getattr(system.problem, "_mf_amg32_pc", None)
-        if pc is not None and pc[0] == pkey:
+        if (pc is not None and pc[0] == pkey
+                and not (need_sa and "hier" not in pc[1])):
             cache, fop64 = pc[1], pc[2]
             system._mf_amg32 = cache
             if getattr(system, "_fused_op", None) is None:
@@ -785,8 +801,32 @@ def _matfree_amg_cache(system: System):
                 A_csr = (A_csr + _sp.coo_matrix(
                     (ke0.reshape(-1), (rows, cols)),
                     shape=A_csr.shape).tocsr())
-            hier32 = amg_mod.build(hv, np.asarray(system.bc_dofs),
-                                   dtype=jnp.float32, A=A_csr)
+            # Hierarchy choice (both on the true initial tangent):
+            # lattice topology -> GEOMETRIC block multigrid (solver/gmg.py,
+            # every level a gather-free stencil, measured 6 vs 9 inner CG
+            # iterations AND ~10x cheaper V-cycle vs SA at 1M dofs);
+            # general topology (or FEM_TPU_NO_GMG=1) -> SA-AMG. The SA
+            # build (aggregation + RBM QR + smoothed RAP) is also the
+            # dominant host-setup cost at scale, so it is SKIPPED when the
+            # geometric hierarchy exists; sharded callers that still need
+            # it pass need_sa=True.
+            from fem_tpu.ops import blockstencil as bs_mod
+
+            pdim = system.pdim
+            dims = bs_mod.detect(A_el, pdim, system.ndof // pdim)
+            hier_g32 = None
+            if dims is not None and os.environ.get(
+                    "FEM_TPU_NO_GMG", "0") != "1":
+                from fem_tpu.solver import gmg as gmg_mod
+
+                hier_g32 = gmg_mod.build_lattice(
+                    A_csr, pdim, dims,
+                    bc_dofs=np.asarray(system.bc_dofs),
+                    dtype=jnp.float32)
+            hier32 = None
+            if hier_g32 is None or need_sa:
+                hier32 = amg_mod.build(hv, np.asarray(system.bc_dofs),
+                                       dtype=jnp.float32, A=A_csr)
             # The flat-state inner solve keeps the fused gather operator:
             # routing it through bs.matvec's FLAT wrapper measured 2x
             # SLOWER (two in-program transposes per apply,
@@ -801,17 +841,16 @@ def _matfree_amg_cache(system: System):
             e = hv.blocks["coh"]
             cache = dict(
                 fop=fop_i,
-                hier=hier32,
                 keep=1.0 - mf32,
                 mf=mf32,
                 edofs=e["edofs"],
                 ecoords32=e["ecoords"].astype(jnp.float32),
                 props32=e["props"].astype(jnp.float32),
             )
-            from fem_tpu.ops import blockstencil as bs_mod
-
-            pdim = system.pdim
-            dims = bs_mod.detect(A_el, pdim, system.ndof // pdim)
+            if hier32 is not None:
+                cache["hier"] = hier32
+            if hier_g32 is not None:
+                cache["hier_g"] = hier_g32
             if dims is not None:
                 ed = np.asarray(e["edofs"])
                 mf_cm32 = jnp.asarray(
@@ -897,7 +936,8 @@ def solve_step_matfree(
     # line search makes Newton itself the iterative-refinement loop.
     amg_ops = None
     if config.resolve_precond(n) == "amg":
-        amg_ops = _matfree_amg_cache(system)
+        amg_ops = _matfree_amg_cache(system,
+                                     need_sa=sharded_op is not None)
     dt_arr = jnp.asarray(system.dt, dtype=jnp.float32)
 
     # `sharded_op` (a parallel.ShardedOperator) distributes the elastic
@@ -991,7 +1031,7 @@ def solve_step_matfree(
                         k: jax.device_put(v, rep)
                         for k, v in amg_ops.items()
                         if k not in ("fop", "fop_cm", "mf_cm", "keep_cm",
-                                     "ed_node", "ed_comp")
+                                     "ed_node", "ed_comp", "hier_g")
                     }
                     sharded_op._mf_cache_rep = ops_src
             ke32 = _coh_ke(
@@ -1005,17 +1045,25 @@ def solve_step_matfree(
             use_cm = sharded_op is None and "fop_cm" in ops
             if sharded_op is not None:
                 ops.pop("fop", None)
+                ops.pop("hier_g", None)
                 ops["blocks"] = _sharded_blocks32(sharded_op)
                 mv_fn, pc_fn = _sharded_mv_pc(sharded_op)
             elif use_cm:
                 # lattice tier: component-major state end-to-end through
                 # the chunked CG (gather-free elastic block stencil); one
-                # eager transpose per solve at the boundary
+                # eager transpose per solve at the boundary. Preconditioner:
+                # geometric lattice MG when the hierarchy exists (gather-
+                # free at EVERY level — ~10x cheaper V-cycle and fewer
+                # iterations than SA at 1M dofs), else the SA V-cycle.
                 ops.pop("fop", None)
-                mv_fn, pc_fn = _mf_jac_mv_cm, _mf_amg_pc_cm
+                if "hier_g" in ops:
+                    ops.pop("hier", None)
+                    mv_fn, pc_fn = _mf_jac_mv_cm, _mf_gmg_pc_cm
+                else:
+                    mv_fn, pc_fn = _mf_jac_mv_cm, _mf_amg_pc_cm
             else:
                 for k in ("fop_cm", "mf_cm", "keep_cm", "ed_node",
-                          "ed_comp"):
+                          "ed_comp", "hier_g"):
                     ops.pop(k, None)
                 mv_fn, pc_fn = _mf_jac_mv, _mf_amg_pc
             # Clamp the Eisenstat–Walker tolerance to what the f32 inner

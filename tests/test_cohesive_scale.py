@@ -95,17 +95,19 @@ def test_matfree_amg_newton_matches_dense():
 def test_matfree_amg_hierarchy_cached(monkeypatch):
     """The elastic AMG hierarchy is built ONCE per System and reused across
     load steps / Newton iterations (K_el is constant; VERDICT r2 weak #7)."""
-    from fem_tpu.solver import amg as amg_mod
+    from fem_tpu.solver import gmg as gmg_mod
     from fem_tpu.solver import newton
 
     calls = {"n": 0}
-    real_build = amg_mod.build
+    real_build = gmg_mod.build_lattice
 
     def counting_build(*a, **k):
         calls["n"] += 1
         return real_build(*a, **k)
 
-    monkeypatch.setattr(amg_mod, "build", counting_build)
+    # the strip embeds in a lattice, so the counted hierarchy builder is
+    # the geometric one (gmg.build_lattice); SA is skipped entirely there
+    monkeypatch.setattr(gmg_mod, "build_lattice", counting_build)
     p = meshgen.cohesive_interface_problem(4, 2, open_disp=0.004, t=1.0,
                                            dt=0.5)
     system = System(p)
@@ -127,17 +129,19 @@ def test_matfree_amg_cache_reused_across_systems(monkeypatch):
     and already device-resident — cache instead of repaying the host setup
     plus the ~250 MB relay push (~21 s measured at 105k dofs). A different
     dt must MISS (the zero-opening cohesive tangent depends on dt)."""
-    from fem_tpu.solver import amg as amg_mod
+    from fem_tpu.solver import gmg as gmg_mod
     from fem_tpu.solver import newton
 
     calls = {"n": 0}
-    real_build = amg_mod.build
+    real_build = gmg_mod.build_lattice
 
     def counting_build(*a, **k):
         calls["n"] += 1
         return real_build(*a, **k)
 
-    monkeypatch.setattr(amg_mod, "build", counting_build)
+    # the strip embeds in a lattice, so the counted hierarchy builder is
+    # the geometric one (gmg.build_lattice); SA is skipped entirely there
+    monkeypatch.setattr(gmg_mod, "build_lattice", counting_build)
     p = meshgen.cohesive_interface_problem(4, 2, open_disp=0.004, t=1.0,
                                            dt=0.5)
     s1 = System(p)
