@@ -317,7 +317,7 @@ def bench_amg_solve(n=None):
     from fem_tpu.io import meshgen
     from fem_tpu.models.system import System
     from fem_tpu.ops import operator as op_mod
-    from fem_tpu.solver import amg, cg
+    from fem_tpu.solver import amg, cg, gmg
 
     from fem_tpu.ops import blockstencil as bs
 
@@ -330,11 +330,6 @@ def bench_amg_solve(n=None):
         s = System(p, dtype=jnp.float64)
         log(f"amg solve: jittered mesh {p.nels} hex8, ndof={s.ndof}")
         A_csr = amg.assemble_csr(s)
-        # coarse_max=20000: stop at the first aggressive-coarsening level and
-        # solve it with a dense inverse (amg._dense_inv) — the ELL coarse
-        # cycle was 79.5 ms of the 188 ms V-cycle at 527k dofs.
-        h32 = amg.build(s, s.bc_dofs, A=A_csr,
-                        coarse_max=20000).astype(jnp.float32)
         # Operator tier (ops/blockstencil.py): the jittered box is
         # geometrically unstructured but its TOPOLOGY is a lattice, so the
         # fine matvec runs as a variable-coefficient 27-point block stencil
@@ -344,6 +339,18 @@ def bench_amg_solve(n=None):
         dims = None
         if os.environ.get("FEM_TPU_AMG_NO_STENCIL", "0") != "1":
             dims = bs.detect(A_csr, s.pdim, s.nnds)
+        h32 = None
+        if dims is not None and os.environ.get("FEM_TPU_NO_GMG", "0") != "1":
+            # geometric lattice MG (solver/gmg.py): every level gather-free
+            h32 = gmg.build_lattice(A_csr, s.pdim, dims, bc_dofs=s.bc_dofs,
+                                    dtype=jnp.float32)
+        pc_kind = "gmg" if h32 is not None else "sa-amg"
+        if h32 is None:
+            # coarse_max=20000: stop at the first aggressive-coarsening
+            # level, dense inverse there — the ELL coarse cycle was 79.5 ms
+            # of the 188 ms V-cycle at 527k dofs.
+            h32 = amg.build(s, s.bc_dofs, A=A_csr,
+                            coarse_max=20000).astype(jnp.float32)
         if dims is not None:
             # raw-matrix blocks + external float masks: same semantics as
             # the fused path, and the BC-column couplings stay available
@@ -385,6 +392,8 @@ def bench_amg_solve(n=None):
         def fine_mv(v):
             return mv_cm(o, v * keep) * keep + v * mf32_cm
 
+        if isinstance(hh, gmg.GMGPrecond):
+            return gmg.v_cycle_cm(hh, fine_mv, r)
         return amg.v_cycle_cm(hh, fine_mv, r)
 
     @jax.jit
@@ -428,7 +437,7 @@ def bench_amg_solve(n=None):
     rec = {"metric": "amg_ir_solve_wall_1e-9", "value": round(dt, 3),
            "unit": "s", "ndof": s.ndof, "inner_iters": inner,
            "rel_residual": rel, "cold_s": round(cold, 1),
-           "operator": op_kind}
+           "operator": op_kind, "precond": pc_kind}
     log(json.dumps(rec))
     try:
         path = os.path.join(os.path.dirname(os.path.abspath(__file__)),

@@ -83,15 +83,53 @@ def _p1d(n: int):
     return sp.csr_matrix((vals, (rows, cols)), shape=(n, m))
 
 
-def _prolongation(dims: Tuple[int, ...], pdim: int):
+def _prolongation(dims: Tuple[int, ...], pdim: int, flags=None):
     """P = (P_ax0 kron P_ax1 [kron P_ax2]) kron I_pdim over lex node order
-    (axis 0 slowest — matches blockstencil.build / the mesh generators)."""
+    (axis 0 slowest — matches blockstencil.build / the mesh generators).
+
+    flags[ax] False keeps that axis at fine resolution (identity factor) —
+    semi-coarsening for anisotropic meshes (see _axis_strengths)."""
     import scipy.sparse as sp
 
-    P = _p1d(dims[0])
-    for d in dims[1:]:
-        P = sp.kron(P, _p1d(d), format="csr")
+    def fac(ax, d):
+        if flags is not None and not flags[ax]:
+            return sp.identity(d, format="csr")
+        return _p1d(d)
+
+    P = fac(0, dims[0])
+    for ax, d in enumerate(dims[1:], start=1):
+        P = sp.kron(P, fac(ax, d), format="csr")
     return sp.kron(P, sp.identity(pdim, format="csr"), format="csr")
+
+
+def _axis_strengths(A, pdim: int, dims: Tuple[int, ...]) -> np.ndarray:
+    """Per-axis coupling strength: sum of the NEGATIVE same-component
+    entries -min(a_ij, 0) over face neighbours (node offset exactly +-1
+    along the axis, 0 elsewhere) — the classic M-matrix strength measure.
+    Drives semi-coarsening: on anisotropic meshes (the default lx=10
+    cantilever deck, element aspect 10:1:1) the stretched axis's
+    same-component face couplings turn POSITIVE (strength -> 0) while
+    |a_ij|-sums stay deceptively equal (shear terms); isotropic factor-2
+    coarsening under a point-Chebyshev smoother stalls there (42 PCG
+    iterations on the 6^3 deck vs ~12 with strength-guided semi-coarsening;
+    measured: aniso neg-strengths [0, .997, 1], iso [.90, .997, 1])."""
+    Ac = A.tocoo()
+    rem_i, rem_j = Ac.row // pdim, Ac.col // pdim
+    same_comp = (Ac.row % pdim) == (Ac.col % pdim)
+    offs = []
+    for d in dims[::-1]:
+        offs.append((rem_j % d).astype(np.int64) - (rem_i % d))
+        rem_i, rem_j = rem_i // d, rem_j // d
+    offs = offs[::-1]
+    neg = np.maximum(-Ac.data, 0.0)
+    n_moved = np.zeros(len(Ac.data), dtype=np.int8)
+    for o in offs:
+        n_moved += (o != 0)
+    out = np.zeros(len(dims))
+    for ax in range(len(dims)):
+        m = (np.abs(offs[ax]) == 1) & (n_moved == 1) & same_comp
+        out[ax] = float(neg[m].sum())
+    return out
 
 
 def _axis_offsets_ok(A, pdim: int, dims: Tuple[int, ...]) -> bool:
@@ -121,6 +159,10 @@ class GMGLevel:
     theta: float = dataclasses.field(metadata=dict(static=True))
     delta: float = dataclasses.field(metadata=dict(static=True))
     dims: Tuple[int, ...] = dataclasses.field(metadata=dict(static=True))
+    # which axes the transfer to the NEXT level coarsens (None = all);
+    # semi-coarsening pattern chosen by _axis_strengths in build_lattice
+    coarsen: Optional[Tuple[bool, ...]] = dataclasses.field(
+        default=None, metadata=dict(static=True))
 
 
 @jax.tree_util.register_dataclass
@@ -164,9 +206,17 @@ def build_lattice(
     cur_A, cur_dims = A, tuple(int(d) for d in dims)
     while (len(levels) < max_levels - 1
            and (cur_A.shape[0] > coarse_max or not levels)
-           and all(d >= 3 for d in cur_dims)):
+           and any(d >= 3 for d in cur_dims)):
         if not _axis_offsets_ok(cur_A, pdim, cur_dims):
             return None
+        # strength-guided semi-coarsening: coarsen the axes whose face
+        # couplings are within 4x of the strongest (classic 0.25 rule);
+        # weak (long-element) axes wait until RAP levels the anisotropy
+        can = np.array([d >= 3 for d in cur_dims])
+        strengths = _axis_strengths(cur_A, pdim, cur_dims)
+        flags = can & (strengths >= 0.25 * strengths[can].max())
+        if not flags.any():
+            flags = can
         d = cur_A.diagonal()
         dinv = np.where(d != 0.0, 1.0 / np.where(d == 0.0, 1.0, d), 1.0)
         lam_max = 1.1 * amg_mod._lambda_max(cur_A, dinv)
@@ -183,6 +233,7 @@ def build_lattice(
             theta=float(0.5 * (lam_max + lb)),
             delta=float(0.5 * (lam_max - lb)),
             dims=cur_dims,
+            coarsen=tuple(bool(f) for f in flags),
         ))
         # P is the SAME pure-geometric map the device prolong_g/restrict_g
         # implement — Galerkin consistency (and hence an SPD M) requires
@@ -190,10 +241,11 @@ def build_lattice(
         # through RAP as unit-scale couplings; they are negligible next to
         # the physical stiffness scale and Chebyshev's D^-1 handles the
         # nonuniformity.
-        P = _prolongation(cur_dims, pdim)
+        P = _prolongation(cur_dims, pdim, flags)
         cur_A = (P.T.tocsr() @ (cur_A @ P)).tocsr()
         cur_A.sum_duplicates()
-        cur_dims = tuple((d + 1) // 2 for d in cur_dims)
+        cur_dims = tuple((d + 1) // 2 if f else d
+                         for d, f in zip(cur_dims, flags))
     if not levels:
         return None
     Kc = cur_A.toarray()
@@ -239,19 +291,23 @@ def _restrict_axis_n(r, axis: int):
     return out.at[tuple(lastc)].add(r[tuple(lastf)])
 
 
-def prolong_g(xc_g, fine_dims: Tuple[int, ...]):
-    """(pdim, *coarse_dims) -> (pdim, *fine_dims)."""
+def prolong_g(xc_g, fine_dims: Tuple[int, ...], flags=None):
+    """(pdim, *coarse_dims) -> (pdim, *fine_dims); flags[ax] False leaves
+    that axis untouched (semi-coarsening identity factor)."""
     a = xc_g
     for ax, n in enumerate(fine_dims):
-        a = _interp_axis_n(a, 1 + ax, n)
+        if flags is None or flags[ax]:
+            a = _interp_axis_n(a, 1 + ax, n)
     return a
 
 
-def restrict_g(r_g):
-    """(pdim, *fine_dims) -> (pdim, *ceil(dims/2))."""
+def restrict_g(r_g, flags=None):
+    """(pdim, *fine_dims) -> (pdim, *coarse_dims): ceil(n/2) on coarsened
+    axes, identity on the rest."""
     a = r_g
     for ax in range(r_g.ndim - 1):
-        a = _restrict_axis_n(a, 1 + ax)
+        if flags is None or flags[ax]:
+            a = _restrict_axis_n(a, 1 + ax)
     return a
 
 
@@ -283,7 +339,7 @@ def _v(h: GMGPrecond, i: int, mv_g: Callable, r_g):
     lv = h.levels[i]
     x = _cheb_g(mv_g, lv, jnp.zeros_like(r_g), r_g, h.degree)
     res = r_g - mv_g(x)
-    rc = restrict_g(res)
+    rc = restrict_g(res, lv.coarsen)
     if i + 1 == len(h.levels):
         pdim = h.pdim
         # device dof order inside coarse_inv is interleaved (node*pdim+p)
@@ -294,7 +350,7 @@ def _v(h: GMGPrecond, i: int, mv_g: Callable, r_g):
     else:
         nxt = h.levels[i + 1]
         xc = _v(h, i + 1, lambda v: bs.matvec_g(nxt.op, v), rc)
-    x = x + prolong_g(xc, lv.dims)
+    x = x + prolong_g(xc, lv.dims, lv.coarsen)
     return _cheb_g(mv_g, lv, x, r_g, h.degree)
 
 

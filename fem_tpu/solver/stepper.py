@@ -11,6 +11,7 @@ reference behaves the same (main.F90:199,238; SURVEY.md §2d.6).
 from __future__ import annotations
 
 import dataclasses
+import os
 from typing import Callable, List, Optional
 
 import jax
@@ -85,6 +86,16 @@ def _amg_pc_cm(ops, r):
     from fem_tpu.solver import amg as amg_mod
 
     return amg_mod.v_cycle_cm(ops["hier"], lambda v: _amg_mv_cm(ops, v), r)
+
+
+def _gmg_pc_cm(ops, r):
+    """Geometric lattice-MG V-cycle (solver/gmg.py): preferred over the SA
+    cycle on lattice-topology decks — every level is a gather-free block
+    stencil (the SA cycle's cost is its first coarse level's ELL gather
+    matvec; see gmg.py's measurements)."""
+    from fem_tpu.solver import gmg as gmg_mod
+
+    return gmg_mod.v_cycle_cm(ops["hier"], lambda v: _amg_mv_cm(ops, v), r)
 
 
 @jax.jit
@@ -519,9 +530,24 @@ def run(
                 pdim_ = system.pdim
                 nnds_ = n // pdim_
                 op64 = bs_mod.build(A_csr, pdim_, halo_dims, dtype=dtype)
-                hier_i = amg_mod.build(system, system.bc_dofs,
-                                       dtype=inner_dtype,
-                                       coarse_max=20000, A=A_csr)
+                # same GMG-over-SA preference as the single-device branch:
+                # the V-cycle's coarse levels stay replicated (tiny) either
+                # way, but GMG's are gather-free block stencils (gmg.py)
+                hier_i = None
+                gmg_min = int(os.environ.get("FEM_TPU_GMG_MIN", "20000"))
+                if (n > gmg_min
+                        and os.environ.get("FEM_TPU_NO_GMG", "0") != "1"):
+                    from fem_tpu.solver import gmg as gmg_mod
+
+                    hier_i = gmg_mod.build_lattice(
+                        A_csr, pdim_, halo_dims,
+                        bc_dofs=system.bc_dofs, dtype=inner_dtype)
+                    if hier_i is not None:
+                        log("    Geometric lattice-MG preconditioner")
+                if hier_i is None:
+                    hier_i = amg_mod.build(system, system.bc_dofs,
+                                           dtype=inner_dtype,
+                                           coarse_max=20000, A=A_csr)
                 del A_csr
                 opp = bs_mod.pad_rows(op64, nd_)
                 opp_i = opp.astype(inner_dtype)
@@ -571,8 +597,13 @@ def run(
                     return _b2cm(ob) * keep + v * mfc
 
                 def _hpc(ops_, r):
-                    return amg_mod.v_cycle_cm(
-                        ops_["hier"], lambda v: _hmv_i(ops_, v), r)
+                    from fem_tpu.solver import gmg as gmg_mod
+
+                    h_ = ops_["hier"]
+                    vc = (gmg_mod.v_cycle_cm
+                          if isinstance(h_, gmg_mod.GMGPrecond)
+                          else amg_mod.v_cycle_cm)
+                    return vc(h_, lambda v: _hmv_i(ops_, v), r)
 
                 hops = {"vals": vals_bi, "ml": mli, "mr": mri,
                         "hier": hier_i, "mf": mf_cm_i}
@@ -943,9 +974,31 @@ def run(
                 else:
                     op = op_mod.build(system)
                     op_i = op.astype(inner_dtype) if use_ir else op
-                hier_i = amg_mod.build(system, system.bc_dofs,
-                                       dtype=inner_dtype,
-                                       coarse_max=20000, A=A_csr)
+                hier_i = None
+                pc_fn = _amg_pc_cm
+                # below SA's dense-coarse cap (20k dofs) the SA hierarchy
+                # IS a direct factorization (the MUMPS shape) — strictly
+                # fewer iterations and no f32 recurrence drift; GMG's
+                # gather-free cycles only pay at scale. FEM_TPU_GMG_MIN
+                # lets tests drive the GMG route on tiny decks.
+                gmg_min = int(os.environ.get("FEM_TPU_GMG_MIN", "20000"))
+                if (dims is not None and n > gmg_min
+                        and os.environ.get("FEM_TPU_NO_GMG", "0") != "1"):
+                    # geometric lattice MG: gather-free at every level and
+                    # fewer iterations than SA (solver/gmg.py); SA remains
+                    # the general-topology path
+                    from fem_tpu.solver import gmg as gmg_mod
+
+                    hier_i = gmg_mod.build_lattice(
+                        A_csr, system.pdim, dims,
+                        bc_dofs=system.bc_dofs, dtype=inner_dtype)
+                    if hier_i is not None:
+                        pc_fn = _gmg_pc_cm
+                        log("    Geometric lattice-MG preconditioner")
+                if hier_i is None:
+                    hier_i = amg_mod.build(system, system.bc_dofs,
+                                           dtype=inner_dtype,
+                                           coarse_max=20000, A=A_csr)
                 del A_csr
                 bc_mask = jnp.zeros(n, dtype=bool).at[system.bc_dofs].set(True)
                 mf_s = jnp.asarray(bc_mask, dtype=dtype)
@@ -981,7 +1034,7 @@ def run(
                         def _inner(r, cyc_rtol, cap, rn):
                             res = cg.pcg_chunked(
                                 _amg_mv_cm, r.astype(inner_dtype),
-                                _amg_pc_cm, amg_ops, rtol=cyc_rtol,
+                                pc_fn, amg_ops, rtol=cyc_rtol,
                                 maxiter=cap, chunk=4, pipeline=True,
                                 bnorm=rn,
                             )
@@ -1015,7 +1068,7 @@ def run(
                             if x0 is not None else None
                         )
                         res = cg.pcg_chunked(
-                            _amg_mv_cm, b, _amg_pc_cm, amg_ops,
+                            _amg_mv_cm, b, pc_fn, amg_ops,
                             rtol=rtol if rtol else 1e-9,
                             maxiter=maxiter if maxiter else 400,
                             x0=x0cm, pipeline=True,
