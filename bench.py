@@ -377,6 +377,21 @@ def bench_amg_solve(n=None):
         mf32_cm = jnp.asarray(np.asarray(mf32).reshape(nnds, s.pdim).T)
         mf64_cm = jnp.asarray(np.asarray(mf64).reshape(nnds, s.pdim).T)
         F_cm = jnp.asarray(np.asarray(F).reshape(nnds, s.pdim).T)
+    if pc_kind == "gmg":
+        # GRID-SHAPED state (pdim, *dims) end-to-end: at 1.07M dofs the
+        # component-major (pdim, nnds) form hit TPU miscompile class #5 —
+        # matvec_cm ends with a grid->(pdim, nnds) reshape and the mask
+        # multiply fuses onto that output, corrupting the array tail
+        # (BENCH_extra r3: rel_residual NaN at ndof=1073733, exact at
+        # 526848; the same solve is exact on the CPU backend, 12+8 IR
+        # iterations — tools/debug_gmg.py). Grid-shaped combines are
+        # exact (CLAUDE.md #5; same fix as structured.matvec_g).
+        gshape = (s.pdim,) + tuple(dims)
+        with jax.default_device(cpu):
+            mf32_cm = mf32_cm.reshape(gshape)
+            mf64_cm = mf64_cm.reshape(gshape)
+            F_cm = F_cm.reshape(gshape)
+        mv_cm = bs.matvec_g
     op64, op32, h32, mf32_cm, mf64_cm, F_cm = jax.device_put(
         (op64, op32, h32, mf32_cm, mf64_cm, F_cm), tpu)
 
@@ -393,7 +408,7 @@ def bench_amg_solve(n=None):
             return mv_cm(o, v * keep) * keep + v * mf32_cm
 
         if isinstance(hh, gmg.GMGPrecond):
-            return gmg.v_cycle_cm(hh, fine_mv, r)
+            return gmg.v_cycle_g(hh, fine_mv, r)
         return amg.v_cycle_cm(hh, fine_mv, r)
 
     @jax.jit
@@ -414,7 +429,7 @@ def bench_amg_solve(n=None):
             rn = float(rn_dev)
             if r0 is None:
                 r0 = rn
-            if rn <= 1e-9 * r0:
+            if rn <= 1e-9 * r0 or not np.isfinite(rn):
                 break
             # adaptive per-cycle tolerance: ask only for the remaining
             # reduction (x0.5 safety) instead of a fixed 1e-5 — the last
@@ -431,6 +446,27 @@ def bench_amg_solve(n=None):
     t0 = time.perf_counter()
     x, inner, rel = solve()
     cold = time.perf_counter() - t0
+    if not np.isfinite(rel) and pc_kind == "gmg":
+        # Defensive: a non-finite GMG solve (an unseen backend miscompile
+        # class) must never cost the bench its metric — rebuild with the
+        # gather-based SA-AMG hierarchy (known-exact at these sizes) and
+        # rerun. pc32 dispatches on the hierarchy type, so only the
+        # operand changes (same cached chunk programs re-trace per shape).
+        log("amg solve: GMG solve non-finite -> SA-AMG fallback")
+        pc_kind = "sa-amg-fallback"
+        with jax.default_device(cpu):
+            nnds_ = s.ndof // s.pdim
+            mf32_cm = mf32_cm.reshape(s.pdim, nnds_)
+            mf64_cm = mf64_cm.reshape(s.pdim, nnds_)
+            F_cm = F_cm.reshape(s.pdim, nnds_)
+            h32 = amg.build(s, s.bc_dofs, A=None,
+                            coarse_max=20000).astype(jnp.float32)
+        mv_cm = bs.matvec_cm
+        h32, mf32_cm, mf64_cm, F_cm = jax.device_put(
+            (h32, mf32_cm, mf64_cm, F_cm), tpu)
+        t0 = time.perf_counter()
+        x, inner, rel = solve()
+        cold = time.perf_counter() - t0
     t0 = time.perf_counter()
     x, inner, rel = solve()
     dt = time.perf_counter() - t0

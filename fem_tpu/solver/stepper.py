@@ -98,6 +98,44 @@ def _gmg_pc_cm(ops, r):
     return gmg_mod.v_cycle_cm(ops["hier"], lambda v: _amg_mv_cm(ops, v), r)
 
 
+def _gmg_mv_g(ops, v):
+    """Masked lattice-stencil matvec in GRID shape (pdim, *dims) — the
+    TPU-safe solver state for fused chunk programs at ~1M dofs: the
+    component-major (pdim, nnds) form fuses the float-mask multiply onto
+    matvec_cm's trailing grid->cm reshape and silently corrupts the array
+    tail (miscompile class #5, CLAUDE.md; observed as a NaN GMG solve at
+    ndof=1073733 while exact at 526848 and exact on CPU —
+    tools/debug_gmg.py). Grid-shaped combines are exact, as proven by
+    structured.matvec_g at 1.59M."""
+    from fem_tpu.ops import blockstencil as bs_mod
+
+    mf = ops["mf_g"]
+    keep = 1.0 - mf
+    return bs_mod.matvec_g(ops["op"], v * keep) * keep + v * mf
+
+
+def _gmg_pc_g(ops, r):
+    from fem_tpu.solver import gmg as gmg_mod
+
+    return gmg_mod.v_cycle_g(ops["hier"], lambda v: _gmg_mv_g(ops, v), r)
+
+
+@jax.jit
+def _gmg_true_resid_cm(fop, b_cm, mf_g, x_cm):
+    """f64 true residual for the grid-state GMG route: cm in/out at the
+    jit boundary (reshape of jit inputs and a trailing reshape as the
+    LAST op are safe — CLAUDE.md #5), grid-shaped combines inside."""
+    from fem_tpu.ops import blockstencil as bs_mod
+
+    gsh = mf_g.shape
+    keep = 1.0 - mf_g
+    xg = x_cm.reshape(gsh)
+    ax = bs_mod.matvec_g(fop, xg * keep) * keep + xg * mf_g
+    r = b_cm.reshape(gsh) - ax
+    rn = jnp.sqrt(jnp.sum(r * r))
+    return r.reshape(b_cm.shape), rn
+
+
 @jax.jit
 def _amg_true_resid_cm(fop, bg, mf, x):
     keep = 1.0 - mf
@@ -993,13 +1031,17 @@ def run(
                         A_csr, system.pdim, dims,
                         bc_dofs=system.bc_dofs, dtype=inner_dtype)
                     if hier_i is not None:
-                        pc_fn = _gmg_pc_cm
+                        pc_fn = _gmg_pc_g
                         log("    Geometric lattice-MG preconditioner")
                 if hier_i is None:
                     hier_i = amg_mod.build(system, system.bc_dofs,
                                            dtype=inner_dtype,
                                            coarse_max=20000, A=A_csr)
                 del A_csr
+                # GMG carries GRID-shaped (pdim, *dims) solver state through
+                # the fused chunk programs (see _gmg_mv_g: the cm form hits
+                # TPU miscompile #5 at ~1M dofs); SA keeps component-major.
+                use_grid = pc_fn is _gmg_pc_g
                 bc_mask = jnp.zeros(n, dtype=bool).at[system.bc_dofs].set(True)
                 mf_s = jnp.asarray(bc_mask, dtype=dtype)
                 # component-major state: the fused matvec's fastest layout
@@ -1009,7 +1051,13 @@ def run(
                     np.asarray(mf_s).reshape(nnds_, system.pdim).T
                 )
                 mf_cm_i = jnp.asarray(np.asarray(mf_cm), dtype=inner_dtype)
-                amg_ops = {"op": op_i, "hier": hier_i, "mf_cm": mf_cm_i}
+                if use_grid:
+                    gdims = (system.pdim,) + tuple(dims)
+                    mf_g = mf_cm.reshape(gdims)  # eager: outside any jit
+                    amg_ops = {"op": op_i, "hier": hier_i,
+                               "mf_g": mf_cm_i.reshape(gdims)}
+                else:
+                    amg_ops = {"op": op_i, "hier": hier_i, "mf_cm": mf_cm_i}
 
                 if use_ir:
                     log("    f64/f32 iterative refinement (chunked AMG-CG inner)")
@@ -1032,17 +1080,33 @@ def run(
                         budget = maxiter if maxiter else 600
 
                         def _inner(r, cyc_rtol, cap, rn):
+                            r_i = r.astype(inner_dtype)
+                            if use_grid:
+                                res = cg.pcg_chunked(
+                                    _gmg_mv_g, r_i.reshape(gdims),
+                                    pc_fn, amg_ops, rtol=cyc_rtol,
+                                    maxiter=cap, chunk=4, pipeline=True,
+                                    bnorm=rn,
+                                )
+                                # eager reshape back to cm — outside jit
+                                return res.x.reshape(r.shape), res.iters
                             res = cg.pcg_chunked(
-                                _amg_mv_cm, r.astype(inner_dtype),
+                                _amg_mv_cm, r_i,
                                 pc_fn, amg_ops, rtol=cyc_rtol,
                                 maxiter=cap, chunk=4, pipeline=True,
                                 bnorm=rn,
                             )
                             return res.x, res.iters
 
+                        if use_grid:
+                            def _tr(bb, xx):
+                                return _gmg_true_resid_cm(op, bb, mf_g, xx)
+                        else:
+                            def _tr(bb, xx):
+                                return _amg_true_resid_cm(op, bb, mf_cm, xx)
+
                         x, inner_total, rn = _ir_outer(
-                            lambda bb, xx: _amg_true_resid_cm(
-                                op, bb, mf_cm, xx),
+                            _tr,
                             _inner,
                             lambda xx, dx: (xx + dx.astype(dtype)) * keep
                             + ubc_cm * mf_cm,
@@ -1067,13 +1131,25 @@ def run(
                             + ubc_cm * mf_cm
                             if x0 is not None else None
                         )
-                        res = cg.pcg_chunked(
-                            _amg_mv_cm, b, pc_fn, amg_ops,
-                            rtol=rtol if rtol else 1e-9,
-                            maxiter=maxiter if maxiter else 400,
-                            x0=x0cm, pipeline=True,
-                        )
-                        x = res.x * keep + ubc_cm * mf_cm
+                        if use_grid:
+                            res = cg.pcg_chunked(
+                                _gmg_mv_g, b.reshape(gdims), pc_fn, amg_ops,
+                                rtol=rtol if rtol else 1e-9,
+                                maxiter=maxiter if maxiter else 400,
+                                x0=(x0cm.reshape(gdims)
+                                    if x0cm is not None else None),
+                                pipeline=True,
+                            )
+                            xs = res.x.reshape(b.shape)  # eager
+                        else:
+                            res = cg.pcg_chunked(
+                                _amg_mv_cm, b, pc_fn, amg_ops,
+                                rtol=rtol if rtol else 1e-9,
+                                maxiter=maxiter if maxiter else 400,
+                                x0=x0cm, pipeline=True,
+                            )
+                            xs = res.x
+                        x = xs * keep + ubc_cm * mf_cm
                         return cg.CGResult(
                             x=x.T.reshape(-1),
                             iters=res.iters, resnorm=res.resnorm,

@@ -1,0 +1,187 @@
+"""Diagnose the n=70 (1.07M-dof) GMG NaN (BENCH_extra tail: rel_residual
+NaN, 120 inner iters) by separating TPU miscompile from algorithmic
+divergence.
+
+Stages (env STAGE, comma list; default "vcycle"):
+  vcycle — apply mv32 and one GMG V-cycle to a fixed vector on the TARGET
+           device AND on the CPU backend; print rel diffs.
+  cg     — run one chunk (4 its) of pcg_chunked on both backends; compare.
+  solve  — run the bench IR loop with per-cycle residual logging.
+
+Env: N (default 70), PLAT (tpu|cpu, default tpu), DEGREE, COARSE_MAX.
+"""
+import os
+import sys
+import time
+
+N = int(os.environ.get("N", "70"))
+PLAT = os.environ.get("PLAT", "tpu")
+STAGES = os.environ.get("STAGE", "vcycle").split(",")
+if PLAT == "cpu":
+    os.environ["JAX_PLATFORMS"] = "cpu"
+
+import jax
+
+if PLAT == "cpu":
+    jax.config.update("jax_platforms", "cpu")
+_cache = os.path.join(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))), ".jax_cache")
+os.makedirs(_cache, exist_ok=True)
+jax.config.update("jax_compilation_cache_dir", _cache)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+jax.config.update("jax_enable_x64", True)
+
+import jax.numpy as jnp
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+_T0 = time.time()
+
+
+def log(msg):
+    print(f"[{time.time() - _T0:7.1f}s] {msg}", file=sys.stderr, flush=True)
+
+
+def main():
+    from fem_tpu.io import meshgen
+    from fem_tpu.models.system import System
+    from fem_tpu.solver import amg, cg, gmg
+    from fem_tpu.ops import blockstencil as bs
+
+    cpu = jax.devices("cpu")[0]
+    tgt = jax.devices()[0] if PLAT != "cpu" else cpu
+    n = N
+    with jax.default_device(cpu):
+        p = meshgen.hex_box_problem(n, n, n, lx=1.0, ly=1.0, lz=1.0,
+                                    E=200e9, nu=0.3, tip_load=-1e6,
+                                    jitter=0.25)
+        s = System(p, dtype=jnp.float64)
+        log(f"ndof={s.ndof}")
+        A_csr = amg.assemble_csr(s)
+        dims = bs.detect(A_csr, s.pdim, s.nnds)
+        log(f"dims={dims}")
+        h32 = gmg.build_lattice(
+            A_csr, s.pdim, dims, bc_dofs=s.bc_dofs,
+            coarse_max=int(os.environ.get("COARSE_MAX", "2400")),
+            degree=int(os.environ.get("DEGREE", "3")),
+            dtype=jnp.float32)
+        for i, lv in enumerate(h32.levels):
+            log(f"  gmg level {i}: dims={lv.dims} theta={lv.theta:.4g} "
+                f"delta={lv.delta:.4g} coarsen={lv.coarsen}")
+        log(f"  coarse dims={h32.coarse_dims} "
+            f"inv n={h32.coarse_inv.shape}")
+        op64 = bs.build(A_csr, s.pdim, dims)
+        op32 = op64.astype(jnp.float32)
+        del A_csr
+        bc_mask = np.zeros(s.ndof, bool)
+        bc_mask[np.asarray(s.bc_dofs)] = True
+        nnds = s.ndof // s.pdim
+        mf32_cm = jnp.asarray(
+            bc_mask.astype(np.float32).reshape(nnds, s.pdim).T)
+        F = s.rhs(0.0)
+        F_cm = jnp.asarray(np.asarray(F).reshape(nnds, s.pdim).T)
+        rng = np.random.default_rng(0)
+        v_cm = jnp.asarray(rng.standard_normal(
+            (s.pdim, nnds)).astype(np.float32))
+
+    def mk(dev):
+        return jax.device_put((op32, h32, mf32_cm, v_cm), dev)
+
+    def mv32(ops, v):
+        o, _, mf = ops
+        keep = 1.0 - mf
+        return bs.matvec_cm(o, v * keep) * keep + v * mf
+
+    def pc32(ops, r):
+        o, hh, mf = ops
+        keep = 1.0 - mf
+
+        def fine_mv(v):
+            return bs.matvec_cm(o, v * keep) * keep + v * mf
+
+        return gmg.v_cycle_cm(hh, fine_mv, r)
+
+    def pull(x):
+        return np.asarray(jax.device_get(x))
+
+    if "vcycle" in STAGES:
+        o_c, h_c, mf_c, v_c = mk(cpu)
+        ops_c = (o_c, h_c, mf_c)
+        # jit follows input placement: ops_c/v_c live on the cpu device
+        mv_cpu = pull(jax.jit(mv32)(ops_c, v_c))
+        pc_cpu = pull(jax.jit(pc32)(ops_c, v_c))
+        log(f"cpu: |mv|={np.linalg.norm(mv_cpu):.6e} "
+            f"|pc|={np.linalg.norm(pc_cpu):.6e} "
+            f"finite={np.isfinite(pc_cpu).all()}")
+        if PLAT != "cpu":
+            o_t, h_t, mf_t, v_t = mk(tgt)
+            ops_t = (o_t, h_t, mf_t)
+            mv_t = pull(jax.jit(mv32)(ops_t, v_t))
+            pc_t = pull(jax.jit(pc32)(ops_t, v_t))
+            dmv = np.linalg.norm(mv_t - mv_cpu) / np.linalg.norm(mv_cpu)
+            dpc = np.linalg.norm(pc_t - pc_cpu) / np.linalg.norm(pc_cpu)
+            log(f"tpu vs cpu: mv rel={dmv:.3e} pc rel={dpc:.3e} "
+                f"pc finite={np.isfinite(pc_t).all()}")
+            # locate worst rows if bad
+            if dpc > 1e-3 or not np.isfinite(pc_t).all():
+                err = np.abs(pc_t - pc_cpu)
+                bad = np.argwhere(err > err.max() * 0.5)
+                log(f"  worst err={err.max():.3e} at {bad[:10].tolist()} "
+                    f"of shape {err.shape}")
+
+    if "cg" in STAGES:
+        o_c, h_c, mf_c, v_c = mk(cpu)
+        F_c = jax.device_put(F_cm.astype(jnp.float32), cpu)
+        res_c = cg.pcg_chunked(mv32, F_c, pc32, (o_c, h_c, mf_c),
+                               rtol=1e-30, maxiter=4, chunk=4,
+                               pipeline=False)
+        x_c = pull(res_c.x)
+        log(f"cpu cg4: |x|={np.linalg.norm(x_c):.6e} "
+            f"finite={np.isfinite(x_c).all()}")
+        if PLAT != "cpu":
+            o_t, h_t, mf_t, v_t = mk(tgt)
+            F_t = jax.device_put(F_cm.astype(jnp.float32), tgt)
+            res_t = cg.pcg_chunked(mv32, F_t, pc32, (o_t, h_t, mf_t),
+                                   rtol=1e-30, maxiter=4, chunk=4,
+                                   pipeline=False)
+            x_t = pull(res_t.x)
+            d = np.linalg.norm(x_t - x_c) / max(np.linalg.norm(x_c), 1e-30)
+            log(f"tpu cg4: rel={d:.3e} finite={np.isfinite(x_t).all()}")
+
+    if "solve" in STAGES:
+        dev = tgt
+        o_t, h_t, mf_t, _ = mk(dev)
+        mf64_cm = mf_t.astype(jnp.float64)
+        op64_d = jax.device_put(op64, dev)
+        F64 = jax.device_put(F_cm, dev).astype(jnp.float64)
+
+        @jax.jit
+        def true_resid(fop, Fv, mf, x2):
+            keep = 1.0 - mf
+            ax = bs.matvec_cm(fop, x2 * keep) * keep + x2 * mf
+            r = Fv * keep - ax
+            return r, r.astype(jnp.float32), jnp.sqrt(jnp.sum(r * r))
+
+        x = jnp.zeros_like(F64)
+        r0 = None
+        for k in range(6):
+            r, r32, rn_dev = true_resid(op64_d, F64, mf64_cm, x)
+            rn = float(rn_dev)
+            if r0 is None:
+                r0 = rn
+            log(f"cycle {k}: rn={rn:.6e} rel={rn / r0:.3e}")
+            if rn <= 1e-9 * r0 or not np.isfinite(rn):
+                break
+            cyc_rtol = float(np.clip(0.5 * 1e-9 * r0 / rn, 1e-5, 0.5))
+            res = cg.pcg_chunked(mv32, r32, pc32, (o_t, h_t, mf_t),
+                                 rtol=cyc_rtol, maxiter=120,
+                                 chunk=4, pipeline=False, bnorm=rn)
+            log(f"  inner iters={int(res.iters)} "
+                f"|dx|={float(jnp.linalg.norm(res.x)):.3e}")
+            x = x + res.x.astype(jnp.float64) * (1.0 - mf64_cm)
+
+
+if __name__ == "__main__":
+    main()
