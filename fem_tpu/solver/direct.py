@@ -34,6 +34,43 @@ def factorize(K):
     return (lu, piv)
 
 
+def det_report(fac, null_rtol: float = 1e-12, ref_scale=None):
+    """MUMPS-style determinant/pivot telemetry from an LU factorization.
+
+    The reference prints, after every MUMPS factorization, the determinant
+    of the (penalized) stiffness as mantissa * 2^exponent together with its
+    null-pivot settings (icntl(33)=1 determinant, icntl(24)=1 null-pivot
+    detection; print code main.F90:379-390 — e.g. "0.971 x 2^k" on the
+    shipped cohesive run). Returns (mantissa, exponent, n_null) computed
+    host-side from the U diagonal: mantissa carries the sign (permutation
+    parity x product of diagonal signs) and lies in +-[0.5, 1); n_null
+    counts pivots below null_rtol x the PHYSICAL stiffness scale
+    (`ref_scale` = max|K| before penalization, the same rule as
+    newton._robust_solve; MUMPS equilibrates before its cntl(3) test, so
+    its scale is never dominated by 1e30 penalty-BC diagonals — on the
+    shipped decks most rows are penalized, so no U-diagonal statistic can
+    recover the physical scale). Falls back to median|U_ii| when
+    ref_scale is None. A zero pivot returns (0.0, 0, n_null).
+    """
+    import numpy as np
+
+    lu, piv = (np.asarray(jax.device_get(fac[0])),
+               np.asarray(jax.device_get(fac[1])))
+    d = np.diagonal(lu)
+    ad = np.abs(d)
+    if ref_scale is None:
+        ref_scale = float(np.median(ad)) if ad.size else 0.0
+    n_null = int(np.sum(ad <= null_rtol * float(ref_scale)))
+    sign = -1.0 if (np.sum(piv != np.arange(piv.shape[0])) % 2) else 1.0
+    sign *= float(np.prod(np.where(d < 0.0, -1.0, 1.0)))
+    if np.any(d == 0.0):
+        return 0.0, 0, n_null
+    log2_total = float(np.sum(np.log2(ad)))
+    exp = int(np.ceil(log2_total))
+    mant = sign * 2.0 ** (log2_total - exp)  # |mant| in [0.5, 1)
+    return mant, exp, n_null
+
+
 def solve_factorized(fac, F):
     lu, piv = fac
     dev = _lu_device(lu.dtype)

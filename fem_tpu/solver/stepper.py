@@ -312,6 +312,7 @@ def run(
     if not explicit and not nonlinear:
         if solver_kind == "direct":
             K = system.dense_K()
+            _kscale = float(jnp.max(jnp.abs(K)))  # physical, pre-penalty
             if bc_mode == "penalty":
                 K = K.at[system.bc_dofs, system.bc_dofs].set(PENALTY)
                 fac = direct.factorize(K)
@@ -321,6 +322,12 @@ def run(
                 Ke = Ke.at[system.bc_dofs, system.bc_dofs].set(1.0)
                 fac = direct.factorize(Ke)
                 K_unconstrained = K
+            # MUMPS-grade factorization telemetry: the reference prints the
+            # determinant (mantissa x 2^exp) and its null-pivot settings
+            # after every factorization (main.F90:379-390)
+            _m, _e, _nn = direct.det_report(fac, ref_scale=_kscale)
+            log(f"    Direct LU: det(K) = {_m:.6f} * 2^{_e}"
+                + (f", {_nn} null pivot(s)" if _nn else ""))
         else:
             from fem_tpu.ops import operator as op_mod
             from fem_tpu.ops import structured
@@ -1053,9 +1060,12 @@ def run(
                 mf_cm_i = jnp.asarray(np.asarray(mf_cm), dtype=inner_dtype)
                 if use_grid:
                     gdims = (system.pdim,) + tuple(dims)
-                    mf_g = mf_cm.reshape(gdims)  # eager: outside any jit
                     amg_ops = {"op": op_i, "hier": hier_i,
                                "mf_g": mf_cm_i.reshape(gdims)}
+                    if use_ir:
+                        # outer-precision grid mask, used only by the IR
+                        # true-residual program (_tr) — eager, outside jit
+                        mf_g = mf_cm.reshape(gdims)
                 else:
                     amg_ops = {"op": op_i, "hier": hier_i, "mf_cm": mf_cm_i}
 

@@ -134,3 +134,36 @@ def test_penalty_newton_jit_matches_eliminate_physics():
     assert r_pen.converged and r_eli.converged
     nd = max(float(jnp.linalg.norm(r_eli.du)), 1e-30)
     assert float(jnp.linalg.norm(r_pen.du - r_eli.du)) < 1e-3 * nd
+
+
+def test_det_report_matches_numpy_det():
+    """MUMPS-style determinant telemetry (main.F90:379-390): mantissa*2^exp
+    from the LU factors must equal det(K), sign included, with |mant| in
+    [0.5, 1)."""
+    rng = np.random.default_rng(3)
+    A = rng.standard_normal((12, 12))
+    K = A @ A.T + 12 * np.eye(12)  # SPD -> positive det
+    m, e, nn = direct.det_report(direct.factorize(jnp.asarray(K)))
+    assert 0.5 <= abs(m) < 1.0
+    assert nn == 0
+    np.testing.assert_allclose(m * 2.0 ** e, np.linalg.det(K), rtol=1e-10)
+
+    Kneg = K.copy()
+    Kneg[0] *= -1.0  # flip one row -> negative determinant
+    m2, e2, _ = direct.det_report(direct.factorize(jnp.asarray(Kneg)))
+    assert m2 < 0.0
+    np.testing.assert_allclose(m2 * 2.0 ** e2, np.linalg.det(Kneg),
+                               rtol=1e-10)
+
+
+def test_det_report_counts_null_pivots():
+    """A numerically-null row (fully separated cohesive dof) must be
+    reported, mirroring MUMPS icntl(24)=1 null-pivot detection."""
+    rng = np.random.default_rng(4)
+    A = rng.standard_normal((10, 10))
+    K = A @ A.T + 10 * np.eye(10)
+    K[7, :] = 0.0
+    K[:, 7] = 0.0
+    K[7, 7] = 1e-30  # null relative to the physical scale
+    m, e, nn = direct.det_report(direct.factorize(jnp.asarray(K)))
+    assert nn >= 1

@@ -141,7 +141,7 @@ def main():
         log(f"cpu cg4: |x|={np.linalg.norm(x_c):.6e} "
             f"finite={np.isfinite(x_c).all()}")
         if PLAT != "cpu":
-            o_t, h_t, mf_t, v_t = mk(tgt)
+            o_t, h_t, mf_t, _ = mk(tgt)
             F_t = jax.device_put(F_cm.astype(jnp.float32), tgt)
             res_t = cg.pcg_chunked(mv32, F_t, pc32, (o_t, h_t, mf_t),
                                    rtol=1e-30, maxiter=4, chunk=4,
@@ -167,7 +167,7 @@ def main():
         x = jnp.zeros_like(F64)
         r0 = None
         for k in range(6):
-            r, r32, rn_dev = true_resid(op64_d, F64, mf64_cm, x)
+            _, r32, rn_dev = true_resid(op64_d, F64, mf64_cm, x)
             rn = float(rn_dev)
             if r0 is None:
                 r0 = rn
