@@ -167,6 +167,12 @@ def bench_big_solve():
     smoother = os.environ.get("FEM_TPU_BENCH_SMOOTHER", "chebyshev")
     degree = int(os.environ.get("FEM_TPU_BENCH_DEG", "3"))
     pipe = os.environ.get("FEM_TPU_BENCH_PIPE", "1") == "1"
+    # round-4 cycle-shape knobs (VERDICT r3 #5): Chebyshev interval lower
+    # bound lambda_max/lb (lb=4 concentrates the polynomial on the modes
+    # the coarse grid can't fix — the MG-smoother convention; 30 was the
+    # standalone-solver interval) and gamma=2 W-cycles.
+    cheb_lb = float(os.environ.get("FEM_TPU_BENCH_CHEB_LB", "30"))
+    gamma = int(os.environ.get("FEM_TPU_BENCH_GAMMA", "1"))
     # ALL setup runs on the CPU backend: eager f64 setup ops cost ~200s of
     # remote compiles on the axon relay; the results are small arrays that
     # transfer in milliseconds.
@@ -187,7 +193,8 @@ def bench_big_solve():
         # Chebyshev(3) smoothing: 48 -> ~22 MG-CG iterations at this size vs
         # V(2,2) damped Jacobi, at 8 vs 6 fine matvecs per iteration
         hier32 = multigrid.build(op32, system.bc_dofs, smoother=smoother,
-                                 degree=degree)
+                                 degree=degree, lb_frac=cheb_lb,
+                                 gamma=gamma)
         bc_mask = jnp.zeros(system.ndof, bool).at[system.bc_dofs].set(True)
         mf32 = jnp.asarray(bc_mask, jnp.float32)
         ubc = jnp.zeros(system.ndof).at[system.bc_dofs].set(
@@ -244,8 +251,12 @@ def bench_big_solve():
                 r0 = rn
             if rn <= 1e-9 * r0:
                 break
+            # adaptive per-cycle tolerance (the amg-bench recipe): ask only
+            # for the remaining reduction (x0.5 safety) — a fixed 1e-5 on
+            # the final cycle overshoots the 1e-9 target (wasted chunks)
+            cyc_rtol = float(np.clip(0.5 * 1e-9 * r0 / rn, 1e-5, 0.5))
             res = cg.pcg_chunked(A32, r32, M32,
-                                 (op32, hier32), rtol=1e-5, maxiter=80,
+                                 (op32, hier32), rtol=cyc_rtol, maxiter=80,
                                  chunk=chunk, pipeline=pipe, bnorm=rn)
             inner_total += int(res.iters)
             x = (x + res.x.astype(jnp.float64)) * (1.0 - mf64_g) + ubc_g * mf64_g
@@ -272,7 +283,10 @@ def bench_big_solve():
         "rel_residual": float(rel),
         "cold_s": round(cold, 1),
         "config": f"{impl}/{smoother}{degree}/chunk{chunk}"
-                  + ("/pipe" if pipe else ""),
+                  + ("/pipe" if pipe else "")
+                  + (f"/lb{cheb_lb:g}" if cheb_lb != 30.0 else "")
+                  + ("/W" if gamma >= 2 else "")
+                  + "/adapt",
     }
     log(json.dumps(rec))
     _record_extra(rec)
@@ -348,11 +362,12 @@ def bench_amg_solve(n=None):
         dims = None
         if os.environ.get("FEM_TPU_AMG_NO_STENCIL", "0") != "1":
             dims = bs.detect(A_csr, s.pdim, s.nnds)
+        amg_lb = float(os.environ.get("FEM_TPU_BENCH_CHEB_LB", "30"))
         h32 = None
         if dims is not None and os.environ.get("FEM_TPU_NO_GMG", "0") != "1":
             # geometric lattice MG (solver/gmg.py): every level gather-free
             h32 = gmg.build_lattice(A_csr, s.pdim, dims, bc_dofs=s.bc_dofs,
-                                    dtype=jnp.float32)
+                                    dtype=jnp.float32, lb_frac=amg_lb)
         pc_kind = "gmg" if h32 is not None else "sa-amg"
         if h32 is None:
             # coarse_max=20000: stop at the first aggressive-coarsening

@@ -619,6 +619,7 @@ def build(
     filter_frac: float = 0.0,
     aggressive_threshold: int = 10000,
     dense_level_max: int = 8192,
+    lb_frac: float = 30.0,
 ) -> AMGPrecond:
     """Build the SA-AMG hierarchy for a System's elastic operator (host-side;
     returns a device pytree). `A` may be a pre-assembled scipy CSR (BCs NOT
@@ -707,7 +708,9 @@ def build(
         p_vals, p_cols = _to_ell(P, np_dtype)
         Pc = P.tocoo()
         order = np.argsort(Pc.col, kind="stable")
-        lb = lam_max / 30.0
+        # lb_frac=4 narrows the smoothing interval to the upper spectrum
+        # (the MG-smoother convention — see multigrid.build's docstring)
+        lb = lam_max / lb_frac
         if len(levels) == 0:
             nb_modes = B.shape[1]
             (k_of, g_of, pad_map, p_aggs, pb_vals, r_nodes, rb_vals,

@@ -192,6 +192,7 @@ def build_lattice(
     max_levels: int = 10,
     degree: int = 3,
     dtype=jnp.float32,
+    lb_frac: float = 30.0,
 ) -> Optional[GMGPrecond]:
     """Build the geometric hierarchy from the assembled scipy CSR `A` whose
     node numbering is lex over `dims` (bs.detect provides dims). Returns
@@ -220,7 +221,9 @@ def build_lattice(
         d = cur_A.diagonal()
         dinv = np.where(d != 0.0, 1.0 / np.where(d == 0.0, 1.0, d), 1.0)
         lam_max = 1.1 * amg_mod._lambda_max(cur_A, dinv)
-        lb = lam_max / 30.0
+        # lb_frac=4 narrows the smoothing interval to the upper spectrum
+        # (the MG-smoother convention — see multigrid.build's docstring)
+        lb = lam_max / lb_frac
         op = None
         if levels:  # level 0 smooths through the caller's fine matvec
             op = bs.build(cur_A, pdim, cur_dims, dtype=dtype)

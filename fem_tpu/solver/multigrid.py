@@ -62,6 +62,13 @@ class MGHierarchy:
     smoother: str = dataclasses.field(default="jacobi",
                                       metadata=dict(static=True))
     degree: int = dataclasses.field(default=3, metadata=dict(static=True))
+    # gamma=2 runs a W-cycle: the coarse correction at every level is
+    # applied twice with a residual update in between (B_W = 2B - B A B —
+    # symmetric when B is, so still a valid CG preconditioner). Fine-level
+    # cost is unchanged; each level idx pays ~2^idx x its V-cycle visits,
+    # i.e. +~35% total matvec work on a 3D hierarchy, traded for a
+    # stronger coarse solve (fewer CG iterations).
+    gamma: int = dataclasses.field(default=1, metadata=dict(static=True))
 
 
 def _pool2(field):
@@ -105,12 +112,20 @@ def _lambda_max_level(op, diag, maskf, iters: int = 15, seed: int = 0):
 def build(op: structured.StencilOperator, bc_dofs, min_cells: int = 2,
           nu_pre: int = 2, nu_post: int = 2, omega: float = 0.67,
           max_levels: int = 32, smoother: str = "jacobi",
-          degree: int = 3) -> MGHierarchy:
+          degree: int = 3, lb_frac: float = 30.0,
+          gamma: int = 1) -> MGHierarchy:
     """Build the hierarchy from the fine stencil operator and constrained
     dof list. Coarsening halves each axis while all cell counts are even
     and > min_cells. smoother="chebyshev" estimates each level's D^-1 A
     spectrum by power iteration and smooths with degree-`degree` Chebyshev
-    polynomials instead of nu damped-Jacobi sweeps."""
+    polynomials instead of nu damped-Jacobi sweeps.
+
+    lb_frac sets the Chebyshev interval's lower end, lambda_max/lb_frac.
+    As a STANDALONE solver the wide lb_frac=30 interval is right, but as
+    an MG smoother the polynomial only needs to damp the upper spectrum
+    the coarse grid cannot represent — lb_frac~4 concentrates the same
+    degree there (the hypre/PyAMG smoother convention). gamma=2 builds
+    the same hierarchy flagged for W-cycles (see MGHierarchy.gamma)."""
     pdim = op.pdim
     dtype = op.k_lam.dtype
     mask = np.zeros(op.ndof, dtype=bool)
@@ -137,7 +152,7 @@ def build(op: structured.StencilOperator, bc_dofs, min_cells: int = 2,
         theta = delta = 0.0
         if smoother == "chebyshev":
             lam_max = _lambda_max_level(cur_op, d, maskf)
-            lb = lam_max / 30.0
+            lb = lam_max / lb_frac
             theta = float(0.5 * (lam_max + lb))
             delta = float(0.5 * (lam_max - lb))
         levels.append(MGLevel(op=cur_op, diag=d, maskf=maskf,
@@ -186,7 +201,7 @@ def build(op: structured.StencilOperator, bc_dofs, min_cells: int = 2,
     return MGHierarchy(levels=tuple(levels), coarse_inv=coarse_inv,
                        nu_pre=nu_pre, nu_post=nu_post, omega=omega,
                        coarse_smooth=coarse_smooth, smoother=smoother,
-                       degree=degree)
+                       degree=degree, gamma=gamma)
 
 
 def _gshape(level: MGLevel):
@@ -358,7 +373,14 @@ def _v_g(h: MGHierarchy, idx: int, rg):
     rc = restrict_g(res, level.op.shape, pdim)
     csh = _gshape(h.levels[idx + 1])
     keep_c = 1.0 - h.levels[idx + 1].maskf.reshape(csh)
-    xc = _v_g(h, idx + 1, rc * keep_c) * keep_c
+    rcm = rc * keep_c
+    xc = _v_g(h, idx + 1, rcm) * keep_c
+    if h.gamma >= 2 and idx + 1 < len(h.levels) - 1:
+        # W-cycle: one residual-corrected second visit (B_W = 2B - BAB —
+        # symmetric, CG-safe). Skipped when the child IS the coarsest
+        # level (its dense inverse is exact; a second visit is a no-op).
+        rc2 = (rcm - _masked_matvec_g(h.levels[idx + 1], xc)) * keep_c
+        xc = xc + _v_g(h, idx + 1, rc2) * keep_c
     x = x + prolong_g(xc, level.op.shape, pdim)
     return _smooth_dispatch(h, level, x, rg, h.nu_post)
 
@@ -404,6 +426,14 @@ def _jit_prolong_add(level: MGLevel, xg, xcg, coarse_maskf):
 
 
 @jax.jit
+def _jit_coarse_residual(level: MGLevel, xg, rg):
+    """W-cycle residual update at a coarse level: mask(r - A x)."""
+    sh = _gshape(level)
+    keep = 1.0 - level.maskf.reshape(sh)
+    return (rg * keep - _masked_matvec_g(level, xg * keep) * keep)
+
+
+@jax.jit
 def _jit_coarse_inv(coarse_inv, rg):
     x = jnp.matmul(coarse_inv, rg.reshape(-1),
                    precision=jax.lax.Precision.HIGHEST)
@@ -427,6 +457,9 @@ def _v_host(h: MGHierarchy, idx: int, rg):
     x = _host_smooth(h, level, jnp.zeros_like(rg), rg, h.nu_pre)
     rc = _jit_residual_restrict(level, x, rg, h.levels[idx + 1].maskf)
     xc = _v_host(h, idx + 1, rc)
+    if h.gamma >= 2 and idx + 1 < len(h.levels) - 1:
+        rc2 = _jit_coarse_residual(h.levels[idx + 1], xc, rc)
+        xc = xc + _v_host(h, idx + 1, rc2)
     x = _jit_prolong_add(level, x, xc, h.levels[idx + 1].maskf)
     return _host_smooth(h, level, x, rg, h.nu_post)
 
