@@ -24,6 +24,12 @@ examples/generated_example.inp:
 	$(PY) -c "from fem_tpu.io import meshgen; open('examples/generated_example.inp','w').write(meshgen.quad_strip_deck(10, 1))"
 
 unit:
+	$(PY) -m pytest tests/ -q -m "not slow"
+
+unit-slow:
+	$(PY) -m pytest tests/ -q -m slow
+
+unit-all:
 	$(PY) -m pytest tests/ -q
 
 bench:

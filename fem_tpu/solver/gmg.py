@@ -193,19 +193,44 @@ def build_lattice(
     degree: int = 3,
     dtype=jnp.float32,
     lb_frac: float = 30.0,
+    max_stencil_levels: Optional[int] = None,
 ) -> Optional[GMGPrecond]:
     """Build the geometric hierarchy from the assembled scipy CSR `A` whose
     node numbering is lex over `dims` (bs.detect provides dims). Returns
     None if any Galerkin level leaves the lattice (never observed; the
-    caller then falls back to amg.build)."""
+    caller then falls back to amg.build), or if the miscompile guard below
+    would need a dense coarse too large to invert.
+
+    TPU miscompile #6 (round 4, isolated by tools/debug_gmg.py
+    STAGE=gdepth,gcg at n=70/1.07M dofs): GMG programs whose fine level
+    is a >=~1M-dof 3D GRID-shaped state go NaN on this backend in every
+    shape tried — 3 stencil levels + tiny dense coarse (the 527k-proven
+    production shape), 2 stencil levels with the coarse zeroed PLUS a
+    17.5k dense coarse, chunked CG and SINGLE V-cycle applies alike —
+    while (a) every piece is exact standalone, (b) depth-2 compositions
+    are exact, (c) optimization_barrier does not help, and (d) the
+    SA-AMG program of the same size (flat/ELL layout, an even larger
+    dense coarse at 18.9k) is exact at 1.07M. Same family as miscompiles
+    #3/#5: size-triggered fusion bugs, here specific to the grid-layout
+    transfer/smooth compositions. Default guard: DECLINE 3D lattices at
+    >= 800k fine dofs (return None — the caller's SA path is proven:
+    1.606 s @1.07M, 28 iters, BENCH_extra r4). The 2D cohesive deck runs
+    the deep hierarchy clean at 1.01M dofs and stays enabled; pass
+    max_stencil_levels explicitly to re-run the experiments."""
     A = A.tocsr()
     if bc_dofs is not None and len(np.asarray(bc_dofs)) > 0:
         A = amg_mod._eliminate_bcs(A, np.asarray(bc_dofs))
     np_dtype = np.dtype(jnp.dtype(dtype).name)
 
+    if max_stencil_levels is None:
+        if A.shape[0] >= 800_000 and len(dims) >= 3:
+            return None  # miscompile #6 — see docstring
+        max_stencil_levels = max_levels - 1
+    dense_coarse_cap = 24000  # largest coarse amg._dense_inv can take
+
     levels = []
     cur_A, cur_dims = A, tuple(int(d) for d in dims)
-    while (len(levels) < max_levels - 1
+    while (len(levels) < min(max_levels - 1, max_stencil_levels)
            and (cur_A.shape[0] > coarse_max or not levels)
            and any(d >= 3 for d in cur_dims)):
         if not _axis_offsets_ok(cur_A, pdim, cur_dims):
@@ -250,6 +275,12 @@ def build_lattice(
         cur_dims = tuple((d + 1) // 2 if f else d
                          for d, f in zip(cur_dims, flags))
     if not levels:
+        return None
+    if cur_A.shape[0] > dense_coarse_cap:
+        # the miscompile-#6 guard stopped coarsening but the remaining
+        # level is too large for a dense inverse — no safe GMG shape
+        # exists; the caller falls back to SA-AMG (whose ELL mid-levels
+        # are exact at these sizes)
         return None
     Kc = cur_A.toarray()
     coarse_inv = amg_mod._dense_inv(Kc)

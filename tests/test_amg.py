@@ -17,6 +17,9 @@ from fem_tpu.ops import operator as op_mod
 from fem_tpu.ops import structured
 from fem_tpu.solver import amg, cg
 
+pytestmark = pytest.mark.slow  # ~372s on this host (round-4 module timing); the fast gate runs -m 'not slow'
+
+
 
 def _setup(n, jitter=0.3):
     p = meshgen.hex_box_problem(n, n, n, lx=1.0, ly=1.0, lz=1.0, jitter=jitter)

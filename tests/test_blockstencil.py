@@ -10,6 +10,8 @@ non-lattice topology exactly.
 
 import dataclasses
 
+import pytest
+
 import jax.numpy as jnp
 import numpy as np
 
@@ -18,6 +20,9 @@ from fem_tpu.models.system import System
 from fem_tpu.ops import blockstencil as bs
 from fem_tpu.ops import operator as op_mod
 from fem_tpu.solver import amg, cg
+
+pytestmark = pytest.mark.slow  # ~94s on this host (round-4 module timing); the fast gate runs -m 'not slow'
+
 
 
 def _matvec_err(p):

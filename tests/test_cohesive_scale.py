@@ -10,6 +10,9 @@ from fem_tpu.io import meshgen
 from fem_tpu.models.system import System
 from fem_tpu.solver import stepper
 
+pytestmark = pytest.mark.slow  # ~251s on this host (round-4 module timing); the fast gate runs -m 'not slow'
+
+
 
 def test_interface_mesh_structure():
     p = meshgen.cohesive_interface_problem(4, 2)

@@ -15,6 +15,9 @@ from fem_tpu.io import meshgen
 from fem_tpu.models.problem import Problem
 from fem_tpu.solver import stepper
 
+pytestmark = pytest.mark.slow  # ~144s on this host (round-4 module timing); the fast gate runs -m 'not slow'
+
+
 
 def _exact2d(xy):
     # e^x(cos y, -sin y): harmonic components, divergence-free -> satisfies

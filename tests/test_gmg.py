@@ -28,6 +28,9 @@ from fem_tpu.ops import cohesive as coh_ops
 from fem_tpu.ops import operator as op_mod
 from fem_tpu.solver import amg, cg, gmg
 
+pytestmark = pytest.mark.slow  # ~221s on this host (round-4 module timing); the fast gate runs -m 'not slow'
+
+
 
 @pytest.mark.parametrize("dims,pdim", [((5, 4), 2), ((4, 4), 2),
                                        ((7, 6, 4), 3), ((2, 5), 2)])

@@ -14,6 +14,9 @@ from fem_tpu.ops.stiffness import lame
 from fem_tpu.parallel import make_mesh
 from fem_tpu.solver import cg
 
+pytestmark = pytest.mark.slow  # ~354s on this host (round-4 module timing); the fast gate runs -m 'not slow'
+
+
 
 @pytest.fixture(scope="module")
 def setup():

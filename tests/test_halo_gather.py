@@ -13,6 +13,9 @@ from fem_tpu.models.system import System
 from fem_tpu.ops import operator as op_mod
 from fem_tpu.parallel import halo_gather as hg
 
+pytestmark = pytest.mark.slow  # ~121s on this host (round-4 module timing); the fast gate runs -m 'not slow'
+
+
 
 def _mesh(nd=8):
     from jax.sharding import Mesh

@@ -12,6 +12,9 @@ from fem_tpu.ops import structured
 from fem_tpu.ops.stiffness import lame
 from fem_tpu.solver import cg, multigrid
 
+pytestmark = pytest.mark.slow  # ~157s on this host (round-4 module timing); the fast gate runs -m 'not slow'
+
+
 
 def _setup3d(n, E=200e9, nu=0.3):
     problem = meshgen.hex_box_problem(

@@ -15,6 +15,9 @@ from fem_tpu.parallel import ShardedOperator, make_mesh
 from fem_tpu.parallel.ops import solve_step_sharded
 from fem_tpu.solver import cg, stepper
 
+pytestmark = pytest.mark.slow  # ~1200s on this host (round-4 module timing); the fast gate runs -m 'not slow'
+
+
 
 @pytest.fixture(scope="module")
 def grid_system():

@@ -23,6 +23,9 @@ from fem_tpu.io import meshgen
 from fem_tpu.models.system import System
 from fem_tpu.solver import newton
 
+pytestmark = pytest.mark.slow  # ~136s on this host (round-4 module timing); the fast gate runs -m 'not slow'
+
+
 SIGMA_MAX, DELTA = 100.0, 0.001
 
 

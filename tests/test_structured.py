@@ -10,6 +10,9 @@ from fem_tpu.models.system import System
 from fem_tpu.ops import operator as op_mod
 from fem_tpu.ops import structured
 
+pytestmark = pytest.mark.slow  # ~571s on this host (round-4 module timing); the fast gate runs -m 'not slow'
+
+
 
 def test_stencil_matches_fused_3d():
     nx, ny, nz = 5, 4, 3

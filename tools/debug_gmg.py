@@ -106,6 +106,193 @@ def main():
     def pull(x):
         return np.asarray(jax.device_get(x))
 
+    if any(st in STAGES
+           for st in ("gvcycle", "gcheb", "gtrans", "gcg", "gdepth")):
+        # GRID-form stages (round 4): the bench moved to bs.matvec_g +
+        # gmg.v_cycle_g and still NaNs at n=70 — isolate which grid piece
+        # diverges between TPU and CPU.
+        gsh = (s.pdim,) + tuple(dims)
+        with jax.default_device(cpu):
+            mf_g_host = mf32_cm.reshape(gsh)
+            v_g_host = v_cm.reshape(gsh)
+
+        def mkg(dev):
+            return jax.device_put((op32, h32, mf_g_host, v_g_host), dev)
+
+        def mv_g(ops, v):
+            o, _, mf = ops
+            keep = 1.0 - mf
+            return bs.matvec_g(o, v * keep) * keep + v * mf
+
+        def pc_g(ops, r):
+            o, hh, mf = ops
+            keep = 1.0 - mf
+
+            def fine_mv(v):
+                return bs.matvec_g(o, v * keep) * keep + v * mf
+
+            return gmg.v_cycle_g(hh, fine_mv, r)
+
+        def cheb_g(ops, r):
+            o, hh, mf = ops
+            keep = 1.0 - mf
+
+            def fine_mv(v):
+                return bs.matvec_g(o, v * keep) * keep + v * mf
+
+            lv = hh.levels[0]
+            return gmg._cheb_g(fine_mv, lv, jnp.zeros_like(r), r, hh.degree)
+
+        def trans_g(ops, r):
+            _, hh, _ = ops
+            lv = hh.levels[0]
+            rc = gmg.restrict_g(r, lv.coarsen)
+            return gmg.prolong_g(rc, lv.dims, lv.coarsen)
+
+        fns = {"gcheb": cheb_g, "gtrans": trans_g, "gvcycle": pc_g}
+        o_c, h_c, mf_c, v_c = mkg(cpu)
+        if PLAT != "cpu":
+            o_t, h_t, mf_t, v_t = mkg(tgt)
+        mv_cpu = pull(jax.jit(mv_g)((o_c, h_c, mf_c), v_c))
+        log(f"cpu: |mv_g|={np.linalg.norm(mv_cpu):.6e}")
+        if PLAT != "cpu":
+            mv_t = pull(jax.jit(mv_g)((o_t, h_t, mf_t), v_t))
+            d = np.linalg.norm(mv_t - mv_cpu) / np.linalg.norm(mv_cpu)
+            log(f"tpu mv_g: rel={d:.3e} finite={np.isfinite(mv_t).all()}")
+        for name in ("gcheb", "gtrans", "gvcycle"):
+            if name not in STAGES:
+                continue
+            f = fns[name]
+            z_cpu = pull(jax.jit(f)((o_c, h_c, mf_c), v_c))
+            log(f"cpu {name}: |z|={np.linalg.norm(z_cpu):.6e} "
+                f"finite={np.isfinite(z_cpu).all()}")
+            if PLAT != "cpu":
+                z_t = pull(jax.jit(f)((o_t, h_t, mf_t), v_t))
+                d = np.linalg.norm(z_t - z_cpu) / max(
+                    np.linalg.norm(z_cpu), 1e-30)
+                ok = np.isfinite(z_t).all()
+                log(f"tpu {name}: rel={d:.3e} finite={ok}")
+                if d > 1e-3 or not ok:
+                    err = np.abs(z_t - z_cpu).reshape(s.pdim, -1)
+                    bad = np.argwhere(err > err.max() * 0.5)
+                    log(f"  worst err={err.max():.3e} at flat idx "
+                        f"{bad[:10].tolist()} of {err.shape}")
+
+        if "gdepth" in STAGES:
+            # bisect the fused V-cycle: every piece is exact standalone
+            # (gcheb/gtrans/mv_g) but the full recursion NaNs — find the
+            # minimal fused composition that corrupts.
+            def mk_partial(depth, with_coarse):
+                def f(ops, r):
+                    o, hh, mf = ops
+                    keep = 1.0 - mf
+
+                    def fine_mv(v):
+                        return bs.matvec_g(o, v * keep) * keep + v * mf
+
+                    def go(i, mvf, rg):
+                        lv = hh.levels[i]
+                        x = gmg._cheb_g(mvf, lv, jnp.zeros_like(rg), rg,
+                                        hh.degree)
+                        res = rg - mvf(x)
+                        rc = gmg.restrict_g(res, lv.coarsen)
+                        if i + 1 > depth or i + 1 == len(hh.levels):
+                            if with_coarse and i + 1 == len(hh.levels):
+                                pdim = hh.pdim
+                                rf = rc.reshape(pdim, -1).T.reshape(-1)
+                                xf = jnp.matmul(
+                                    hh.coarse_inv, rf,
+                                    precision=jax.lax.Precision.HIGHEST)
+                                xc = xf.reshape(-1, pdim).T.reshape(rc.shape)
+                            else:
+                                xc = jnp.zeros_like(rc)
+                        else:
+                            nxt = hh.levels[i + 1]
+                            xc = go(i + 1,
+                                    lambda v: bs.matvec_g(nxt.op, v), rc)
+                        x = x + gmg.prolong_g(xc, lv.dims, lv.coarsen)
+                        return gmg._cheb_g(mvf, lv, x, rg, hh.degree)
+
+                    return go(0, fine_mv, r)
+                return f
+
+            def lvl2_standalone(ops, r):
+                # transfers down to level 2, cheb there, transfers back —
+                # no level-0/1 smoothing: isolates "level-2 apply is bad"
+                # from "the fused program got too deep"
+                _, hh, _ = ops
+                l0, l1, l2 = hh.levels[0], hh.levels[1], hh.levels[2]
+                rc1 = gmg.restrict_g(r, l0.coarsen)
+                rc2 = gmg.restrict_g(rc1, l1.coarsen)
+                x2 = gmg._cheb_g(lambda v: bs.matvec_g(l2.op, v), l2,
+                                 jnp.zeros_like(rc2), rc2, hh.degree)
+                x1 = gmg.prolong_g(x2, l1.dims, l1.coarsen)
+                return gmg.prolong_g(x1, l0.dims, l0.coarsen)
+
+            def mk_barrier():
+                def f(ops, r):
+                    o, hh, mf = ops
+                    keep = 1.0 - mf
+
+                    def fine_mv(v):
+                        return bs.matvec_g(o, v * keep) * keep + v * mf
+
+                    def go(i, mvf, rg):
+                        lv = hh.levels[i]
+                        x = gmg._cheb_g(mvf, lv, jnp.zeros_like(rg), rg,
+                                        hh.degree)
+                        res = rg - mvf(x)
+                        rc = gmg.restrict_g(res, lv.coarsen)
+                        if i + 1 == 3 or i + 1 == len(hh.levels):
+                            xc = jnp.zeros_like(rc)
+                        else:
+                            nxt = hh.levels[i + 1]
+                            rc = jax.lax.optimization_barrier(rc)
+                            xc = go(i + 1,
+                                    lambda v: bs.matvec_g(nxt.op, v), rc)
+                            xc = jax.lax.optimization_barrier(xc)
+                        x = x + gmg.prolong_g(xc, lv.dims, lv.coarsen)
+                        return gmg._cheb_g(mvf, lv, x, rg, hh.degree)
+
+                    return go(0, fine_mv, r)
+                return f
+
+            for depth, wc, tag in ((0, False, "d0-nocoarse"),
+                                   (1, False, "d1-nocoarse"),
+                                   (2, False, "d2-nocoarse"),
+                                   (2, False, "d2-barrier"),
+                                   (-1, False, "lvl2-standalone"),
+                                   (3, True, "full")):
+                if tag == "lvl2-standalone":
+                    f = lvl2_standalone
+                elif tag == "d2-barrier":
+                    f = mk_barrier()
+                else:
+                    f = mk_partial(depth, wc)
+                z_cpu = pull(jax.jit(f)((o_c, h_c, mf_c), v_c))
+                line = (f"{tag}: cpu |z|={np.linalg.norm(z_cpu):.6e} "
+                        f"finite={np.isfinite(z_cpu).all()}")
+                if PLAT != "cpu":
+                    z_t = pull(jax.jit(f)((o_t, h_t, mf_t), v_t))
+                    d = np.linalg.norm(z_t - z_cpu) / max(
+                        np.linalg.norm(z_cpu), 1e-30)
+                    line += (f" | tpu rel={d:.3e} "
+                             f"finite={np.isfinite(z_t).all()}")
+                log(line)
+
+        if "gcg" in STAGES and PLAT != "cpu":
+            for dev, tag in ((cpu, "cpu"), (tgt, "tpu")):
+                o_d, h_d, mf_d, _ = mkg(dev)
+                F_d = jax.device_put(
+                    F_cm.reshape(gsh).astype(jnp.float32), dev)
+                res_d = cg.pcg_chunked(mv_g, F_d, pc_g, (o_d, h_d, mf_d),
+                                       rtol=1e-30, maxiter=8, chunk=4,
+                                       pipeline=False)
+                x_d = pull(res_d.x)
+                log(f"{tag} gcg8: |x|={np.linalg.norm(x_d):.6e} "
+                    f"finite={np.isfinite(x_d).all()} "
+                    f"rn={float(res_d.resnorm):.6e}")
+
     if "vcycle" in STAGES:
         o_c, h_c, mf_c, v_c = mk(cpu)
         ops_c = (o_c, h_c, mf_c)
