@@ -252,9 +252,14 @@ def bench_big_solve():
             if rn <= 1e-9 * r0:
                 break
             # adaptive per-cycle tolerance (the amg-bench recipe): ask only
-            # for the remaining reduction (x0.5 safety) — a fixed 1e-5 on
-            # the final cycle overshoots the 1e-9 target (wasted chunks)
-            cyc_rtol = float(np.clip(0.5 * 1e-9 * r0 / rn, 1e-5, 0.5))
+            # for the remaining reduction (x0.5 safety). A/B'd vs fixed
+            # 1e-5 — at this size each extra IR cycle costs ~true-resid +
+            # pipeline-warmup overhead, so fewer DEEP cycles can win;
+            # FEM_TPU_BENCH_ADAPT=0 pins the fixed-1e-5 form.
+            if os.environ.get("FEM_TPU_BENCH_ADAPT", "1") == "1":
+                cyc_rtol = float(np.clip(0.5 * 1e-9 * r0 / rn, 1e-5, 0.5))
+            else:
+                cyc_rtol = 1e-5
             res = cg.pcg_chunked(A32, r32, M32,
                                  (op32, hier32), rtol=cyc_rtol, maxiter=80,
                                  chunk=chunk, pipeline=pipe, bnorm=rn)
@@ -286,7 +291,8 @@ def bench_big_solve():
                   + ("/pipe" if pipe else "")
                   + (f"/lb{cheb_lb:g}" if cheb_lb != 30.0 else "")
                   + ("/W" if gamma >= 2 else "")
-                  + "/adapt",
+                  + ("/adapt" if os.environ.get(
+                      "FEM_TPU_BENCH_ADAPT", "1") == "1" else ""),
     }
     log(json.dumps(rec))
     _record_extra(rec)
