@@ -256,7 +256,7 @@ def bench_big_solve():
             # 1e-5 — at this size each extra IR cycle costs ~true-resid +
             # pipeline-warmup overhead, so fewer DEEP cycles can win;
             # FEM_TPU_BENCH_ADAPT=0 pins the fixed-1e-5 form.
-            if os.environ.get("FEM_TPU_BENCH_ADAPT", "1") == "1":
+            if os.environ.get("FEM_TPU_BENCH_ADAPT", "0") == "1":
                 cyc_rtol = float(np.clip(0.5 * 1e-9 * r0 / rn, 1e-5, 0.5))
             else:
                 cyc_rtol = 1e-5
@@ -292,7 +292,7 @@ def bench_big_solve():
                   + (f"/lb{cheb_lb:g}" if cheb_lb != 30.0 else "")
                   + ("/W" if gamma >= 2 else "")
                   + ("/adapt" if os.environ.get(
-                      "FEM_TPU_BENCH_ADAPT", "1") == "1" else ""),
+                      "FEM_TPU_BENCH_ADAPT", "0") == "1" else ""),
     }
     log(json.dumps(rec))
     _record_extra(rec)
