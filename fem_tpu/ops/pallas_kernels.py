@@ -27,10 +27,27 @@ Production status (measured, one v5e chip, f32):
   - hex8 k_e formation: Pallas 1.06e7 elems/s vs XLA batch-last 4.17e7
     (the one-hot selection matmuls do ~50x redundant MXU work, and Mosaic's
     bf16 input rounding costs ~1e-3 accuracy).
-So the XLA kernels remain the production paths on this backend; both Pallas
+  - ELL matvec (`ell_matvec_pallas`, the VMEM-resident-x gather
+    experiment): does NOT lower on the real chip — Mosaic raises
+    NotImplementedError("Only 2D gather is supported") at the per-lane
+    `jnp.take` (run round 4 via tools/profile_amg.py, recorded in
+    BENCH_extra `level1_ell_pallas` with the error). Root cause, from
+    jax/_src/pallas/mosaic/lowering.py's gather rule: Mosaic's dynamic
+    gather is take_along_axis with `indices.shape == operand.shape`
+    (per-lane permute across sublanes or per-sublane permute across
+    lanes) — it cannot express "fetch block_r arbitrary elements of a
+    long VMEM vector", which is the whole kernel. Expressing it would
+    need x replicated to the indices' shape (8x the VMEM footprint per
+    gather, still shape-mismatched for ELL tiles) or a one-hot matmul
+    (the dense operator, which production already uses below 8192 dofs).
+    XLA's HBM gather (11.8 ms at n=9504, w=162) stands as the level-1
+    ELL path; the hypothesis is closed until Mosaic grows an arbitrary-
+    index gather primitive.
+So the XLA kernels remain the production paths on this backend; the Pallas
 kernels are kept as correct, tested baselines (exactness asserted in
 tests/test_pallas.py, interpret mode on CPU + real-chip spot checks) and as
-the starting point if Mosaic gains fused window reads / f32 matmuls.
+the starting point if Mosaic gains fused window reads / f32 matmuls /
+arbitrary-index gathers.
 
 Use `interpret=True` for CPU-exact testing.
 """

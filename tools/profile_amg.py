@@ -167,6 +167,10 @@ def main():
                 rec("level1_ell_pallas", timeit(lambda v: ellp(lv1, v), rc))
             except Exception as e:  # Mosaic may reject the gather
                 log(f"pallas ell failed: {e!r}")
+                # record the outcome machine-readably either way
+                # (VERDICT r2/r3: "a measured number either way")
+                recs.append({"metric": "level1_ell_pallas", "ms": None,
+                             "ndof": s.ndof, "error": repr(e)})
 
     # write records
     try:
