@@ -478,18 +478,26 @@ def bench_amg_solve(n=None):
     t0 = time.perf_counter()
     x, inner, rel = solve()
     cold = time.perf_counter() - t0
-    if not np.isfinite(rel) and pc_kind == "gmg":
-        # Defensive: a non-finite GMG solve (an unseen backend miscompile
-        # class) must never cost the bench its metric — rebuild with the
-        # gather-based SA-AMG hierarchy (known-exact at these sizes) and
-        # rerun. pc32 dispatches on the hierarchy type, so only the
-        # operand changes (same cached chunk programs re-trace per shape).
+    # GMG acceptance test (MUMPS-grade reliability): miscompile #6 is
+    # BINARY-dependent — a recompile of the same HLO can come back
+    # silently corrupt (round 4: the 527k V-cycle that solved in 24
+    # iterations in round 3 recompiled into one with ~1e8 spikes; the f64
+    # IR outer still converges, at ~10x the iterations). A clean GMG
+    # solve at these sizes takes <=~32 inner iterations; treat NaN OR an
+    # iteration blowup as corruption and demote to SA-AMG.
+    gmg_bad = pc_kind == "gmg" and (not np.isfinite(rel) or inner > 100)
+    if gmg_bad:
+        # Defensive: a corrupt GMG program must never cost the bench its
+        # metric — rebuild with the gather-based SA-AMG hierarchy
+        # (known-exact at these sizes) and rerun. pc32 dispatches on the
+        # hierarchy type, so only the operand changes (same cached chunk
+        # programs re-trace per shape).
         # The cm reshapes go through HOST copies: the grid-shaped arrays
         # were committed to the TPU by device_put, and default_device does
         # not apply to committed arrays — an on-device reshape would
         # dispatch on the TPU that just produced a non-finite result
         # (ADVICE r3). Exercised by tests/test_bench_fallback.py.
-        log("amg solve: GMG solve non-finite -> SA-AMG fallback")
+        log(f"amg solve: GMG solve {'non-finite' if not np.isfinite(rel) else f'degraded ({inner} inner its)'} -> SA-AMG fallback")
         pc_kind = "sa-amg-fallback"
         nnds_ = s.ndof // s.pdim
         with jax.default_device(cpu):

@@ -36,6 +36,7 @@ blocked Cholesky — the MUMPS icntl(24) analogue).
 from __future__ import annotations
 
 import dataclasses
+import os
 from typing import Callable, Optional, Tuple
 
 import numpy as np
@@ -223,8 +224,20 @@ def build_lattice(
     np_dtype = np.dtype(jnp.dtype(dtype).name)
 
     if max_stencil_levels is None:
-        if A.shape[0] >= 800_000 and len(dims) >= 3:
-            return None  # miscompile #6 — see docstring
+        if (len(dims) >= 3 and jax.default_backend() != "cpu"
+                and os.environ.get("FEM_TPU_FORCE_GMG", "0") != "1"):
+            # miscompile #6 — see docstring. Round 4 follow-up: the
+            # corruption is BINARY-dependent, not just size-dependent —
+            # the 527k 3D cycle that ran 24-iteration-clean in round 3
+            # RECOMPILED into a silently corrupt binary (finite ~1e8
+            # spikes; the f64 IR outer still converges, at ~10x the
+            # iterations). On the TPU backend the reliable production
+            # default for 3D lattices is therefore SA-AMG at ANY size;
+            # FEM_TPU_FORCE_GMG=1 opts back in (bench demotes on its
+            # acceptance test if the binary comes back corrupt). CPU
+            # executes these programs exactly — tests and 2D decks keep
+            # the deep hierarchy.
+            return None
         max_stencil_levels = max_levels - 1
     dense_coarse_cap = 24000  # largest coarse amg._dense_inv can take
 

@@ -63,3 +63,25 @@ def test_gmg_finite_keeps_gmg(monkeypatch):
     assert rec["precond"] == "gmg"
     assert np.isfinite(rec["rel_residual"])
     assert rec["rel_residual"] <= 1e-8
+
+
+def test_gmg_degraded_convergence_triggers_sa_fallback(monkeypatch):
+    """Miscompile #6 is binary-dependent: a recompile can return a
+    SILENTLY corrupt (finite) V-cycle that balloons CG iterations ~10x
+    while the f64 IR outer still verifies (round 4, 527k: 24 -> 264
+    inner its). The bench must treat the iteration blowup as corruption
+    and demote to SA-AMG. Modeled by an identity 'V-cycle' (valid but
+    useless preconditioner -> unpreconditioned-CG iteration counts)."""
+    import bench
+    from fem_tpu.solver import gmg
+
+    monkeypatch.setenv("FEM_TPU_BENCH_NO_RECORD", "1")
+    monkeypatch.delenv("FEM_TPU_BENCH_AMG_N", raising=False)
+
+    monkeypatch.setattr(gmg, "v_cycle_g", lambda h, mv, r: r)
+
+    rec = bench.bench_amg_solve(n=8)
+
+    assert rec["precond"] == "sa-amg-fallback"
+    assert np.isfinite(rec["rel_residual"])
+    assert rec["rel_residual"] <= 1e-8
