@@ -714,8 +714,13 @@ def _preflight_tpu(cap_s: float) -> bool:
     import subprocess
     import time as _time
 
+    # expected value: sum(ones@ones) = 128^3 = 2097152. Round 3's
+    # "1518 s preflight wait on a wedged TPU" was THIS check string being
+    # wrong (16384): every ~35 s probe succeeded and failed the match —
+    # the chip was healthy the whole time.
     probe = ("import jax, jax.numpy as jnp; "
              "print(float(jnp.sum(jnp.ones((128,128))@jnp.ones((128,128)))))")
+    expect = "2097152"
     t0 = _time.monotonic()
     while True:
         # Each probe gets the FULL remaining cap, not a short slice: a
@@ -734,8 +739,10 @@ def _preflight_tpu(cap_s: float) -> bool:
                 [sys.executable, "-c", probe], capture_output=True,
                 timeout=remaining, text=True,
             )
-            if r.returncode == 0 and "16384" in r.stdout:
+            if r.returncode == 0 and expect in r.stdout:
                 return True
+            if r.returncode == 0:
+                log(f"preflight: probe ran but printed {r.stdout!r}")
         except subprocess.TimeoutExpired:
             log(f"preflight: probe hung for {remaining:.0f}s (wedge)")
             return False
