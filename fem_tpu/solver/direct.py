@@ -66,7 +66,9 @@ def det_report(fac, null_rtol: float = 1e-12, ref_scale=None):
     if np.any(d == 0.0):
         return 0.0, 0, n_null
     log2_total = float(np.sum(np.log2(ad)))
-    exp = int(np.ceil(log2_total))
+    # floor+1, not ceil: for an exact-integer log2 (det = 2^k) ceil would
+    # return mantissa +-1.0, outside the documented +-[0.5, 1) (ADVICE r4)
+    exp = int(np.floor(log2_total)) + 1
     mant = sign * 2.0 ** (log2_total - exp)  # |mant| in [0.5, 1)
     return mant, exp, n_null
 

@@ -213,11 +213,14 @@ def build_lattice(
     SA-AMG program of the same size (flat/ELL layout, an even larger
     dense coarse at 18.9k) is exact at 1.07M. Same family as miscompiles
     #3/#5: size-triggered fusion bugs, here specific to the grid-layout
-    transfer/smooth compositions. Default guard: DECLINE 3D lattices at
-    >= 800k fine dofs (return None — the caller's SA path is proven:
-    1.606 s @1.07M, 28 iters, BENCH_extra r4). The 2D cohesive deck runs
-    the deep hierarchy clean at 1.01M dofs and stays enabled; pass
-    max_stencil_levels explicitly to re-run the experiments."""
+    transfer/smooth compositions — and BINARY-dependent (the 527k cycle
+    recompiled corrupt in round 4), so no size threshold is safe.
+    Default guard: DECLINE ALL 3D lattices on non-CPU backends, any size
+    (return None — the caller's SA path is proven: 1.606 s @1.07M, 28
+    iters, BENCH_extra r4); FEM_TPU_FORCE_GMG=1 opts back in. The 2D
+    cohesive deck runs the deep hierarchy clean at 1.01M dofs and stays
+    enabled, as does CPU; pass max_stencil_levels explicitly to re-run
+    the experiments."""
     A = A.tocsr()
     if bc_dofs is not None and len(np.asarray(bc_dofs)) > 0:
         A = amg_mod._eliminate_bcs(A, np.asarray(bc_dofs))

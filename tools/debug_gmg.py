@@ -24,12 +24,9 @@ import jax
 
 if PLAT == "cpu":
     jax.config.update("jax_platforms", "cpu")
-_cache = os.path.join(os.path.dirname(os.path.dirname(
-    os.path.abspath(__file__))), ".jax_cache")
-os.makedirs(_cache, exist_ok=True)
-jax.config.update("jax_compilation_cache_dir", _cache)
-jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+from fem_tpu.utils import jaxcache
+
+jaxcache.enable(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 jax.config.update("jax_enable_x64", True)
 
 import jax.numpy as jnp
