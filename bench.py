@@ -369,11 +369,29 @@ def bench_amg_solve(n=None):
             dims = bs.detect(A_csr, s.pdim, s.nnds)
         amg_lb = float(os.environ.get("FEM_TPU_BENCH_CHEB_LB", "30"))
         h32 = None
+        pc_kind = "sa-amg"
         if dims is not None and os.environ.get("FEM_TPU_NO_GMG", "0") != "1":
-            # geometric lattice MG (solver/gmg.py): every level gather-free
-            h32 = gmg.build_lattice(A_csr, s.pdim, dims, bc_dofs=s.bc_dofs,
-                                    dtype=jnp.float32, lb_frac=amg_lb)
-        pc_kind = "gmg" if h32 is not None else "sa-amg"
+            if len(dims) >= 3 and os.environ.get(
+                    "FEM_TPU_FORCE_GMG", "0") != "1":
+                # 3D: the ELL/cm-shaped geometric cycle — the same
+                # hierarchy executed in the flat program shape that SA-AMG
+                # proves exact at all sizes (grid-state 3D cycles are
+                # miscompile #6, binary-dependent; gmg.build_lattice
+                # declines them on this backend)
+                h32 = gmg.build_lattice_ell(A_csr, s.pdim, dims,
+                                            bc_dofs=s.bc_dofs,
+                                            dtype=jnp.float32,
+                                            lb_frac=amg_lb)
+                if h32 is not None:
+                    pc_kind = "gmg-ell"
+            else:
+                # 2D (and FORCE_GMG opt-in): grid-state geometric MG,
+                # every level gather-free
+                h32 = gmg.build_lattice(A_csr, s.pdim, dims,
+                                        bc_dofs=s.bc_dofs,
+                                        dtype=jnp.float32, lb_frac=amg_lb)
+                if h32 is not None:
+                    pc_kind = "gmg"
         if h32 is None:
             # coarse_max=20000: stop at the first aggressive-coarsening
             # level, dense inverse there — the ELL coarse cycle was 79.5 ms
@@ -438,6 +456,8 @@ def bench_amg_solve(n=None):
         def fine_mv(v):
             return mv_cm(o, v * keep) * keep + v * mf32_cm
 
+        if isinstance(hh, gmg.GMGEllPrecond):
+            return gmg.v_cycle_ell(hh, fine_mv, r)
         if isinstance(hh, gmg.GMGPrecond):
             return gmg.v_cycle_g(hh, fine_mv, r)
         return amg.v_cycle_cm(hh, fine_mv, r)
@@ -484,7 +504,8 @@ def bench_amg_solve(n=None):
     # IR outer still converges, at ~10x the iterations). A clean GMG
     # solve at these sizes takes <=~32 inner iterations; treat NaN OR an
     # iteration blowup as corruption and demote to SA-AMG.
-    gmg_bad = pc_kind == "gmg" and (not np.isfinite(rel) or inner > 100)
+    gmg_bad = pc_kind in ("gmg", "gmg-ell") and (
+        not np.isfinite(rel) or inner > 100)
     if gmg_bad:
         # Defensive: a corrupt GMG program must never cost the bench its
         # metric — rebuild with the gather-based SA-AMG hierarchy

@@ -568,8 +568,13 @@ def _mf_gmg_pc_cm(ops, r_cm):
     stencil itself; see gmg.py's module docstring for the measurements."""
     from fem_tpu.solver import gmg as gmg_mod
 
-    return gmg_mod.v_cycle_cm(ops["hier_g"],
-                              lambda v: _mf_jac_mv_cm(ops, v), r_cm)
+    h = ops["hier_g"]
+    if isinstance(h, gmg_mod.GMGEllPrecond):
+        # 3D lattices carry the ELL/cm-shaped hierarchy (the
+        # miscompile-#6-safe program shape)
+        return gmg_mod.v_cycle_ell(h, lambda v: _mf_jac_mv_cm(ops, v),
+                                   r_cm)
+    return gmg_mod.v_cycle_cm(h, lambda v: _mf_jac_mv_cm(ops, v), r_cm)
 
 
 @functools.partial(jax.jit, static_argnames=("quirks",))
@@ -823,6 +828,14 @@ def _matfree_amg_cache(system: System, need_sa: bool = False):
                     A_csr, pdim, dims,
                     bc_dofs=np.asarray(system.bc_dofs),
                     dtype=jnp.float32)
+                if hier_g32 is None:
+                    # 3D lattices on TPU-class backends: build_lattice
+                    # declines (grid-state cycles are miscompile #6);
+                    # the ELL/cm-shaped geometric cycle is the safe form
+                    hier_g32 = gmg_mod.build_lattice_ell(
+                        A_csr, pdim, dims,
+                        bc_dofs=np.asarray(system.bc_dofs),
+                        dtype=jnp.float32)
             hier32 = None
             if hier_g32 is None or need_sa:
                 hier32 = amg_mod.build(hv, np.asarray(system.bc_dofs),

@@ -98,6 +98,17 @@ def _gmg_pc_cm(ops, r):
     return gmg_mod.v_cycle_cm(ops["hier"], lambda v: _amg_mv_cm(ops, v), r)
 
 
+def _gmg_pc_ell(ops, r):
+    """ELL/cm-shaped geometric cycle (gmg.build_lattice_ell) — the
+    production 3D-lattice preconditioner: component-major state end-to-end,
+    the program shape miscompile #6 never hits (grid-state 3D cycles are
+    declined by gmg.build_lattice on TPU-class backends)."""
+    from fem_tpu.solver import gmg as gmg_mod
+
+    return gmg_mod.v_cycle_ell(ops["hier"], lambda v: _amg_mv_cm(ops, v),
+                               r)
+
+
 def _gmg_mv_g(ops, v):
     """Masked lattice-stencil matvec in GRID shape (pdim, *dims) — the
     TPU-safe solver state for fused chunk programs at ~1M dofs: the
@@ -587,6 +598,12 @@ def run(
                     hier_i = gmg_mod.build_lattice(
                         A_csr, pdim_, halo_dims,
                         bc_dofs=system.bc_dofs, dtype=inner_dtype)
+                    if hier_i is None:
+                        # 3D on TPU-class backends: ELL/cm cycle (the
+                        # miscompile-#6-safe program shape)
+                        hier_i = gmg_mod.build_lattice_ell(
+                            A_csr, pdim_, halo_dims,
+                            bc_dofs=system.bc_dofs, dtype=inner_dtype)
                     if hier_i is not None:
                         log("    Geometric lattice-MG preconditioner")
                 if hier_i is None:
@@ -645,9 +662,12 @@ def run(
                     from fem_tpu.solver import gmg as gmg_mod
 
                     h_ = ops_["hier"]
-                    vc = (gmg_mod.v_cycle_cm
-                          if isinstance(h_, gmg_mod.GMGPrecond)
-                          else amg_mod.v_cycle_cm)
+                    if isinstance(h_, gmg_mod.GMGEllPrecond):
+                        vc = gmg_mod.v_cycle_ell
+                    elif isinstance(h_, gmg_mod.GMGPrecond):
+                        vc = gmg_mod.v_cycle_cm
+                    else:
+                        vc = amg_mod.v_cycle_cm
                     return vc(h_, lambda v: _hmv_i(ops_, v), r)
 
                 hops = {"vals": vals_bi, "ml": mli, "mr": mri,
@@ -1040,6 +1060,17 @@ def run(
                     if hier_i is not None:
                         pc_fn = _gmg_pc_g
                         log("    Geometric lattice-MG preconditioner")
+                    else:
+                        # 3D lattices on TPU-class backends: grid-state
+                        # cycles are declined (miscompile #6); the ELL/cm
+                        # program shape is the safe geometric cycle
+                        hier_i = gmg_mod.build_lattice_ell(
+                            A_csr, system.pdim, dims,
+                            bc_dofs=system.bc_dofs, dtype=inner_dtype)
+                        if hier_i is not None:
+                            pc_fn = _gmg_pc_ell
+                            log("    Geometric lattice-MG preconditioner"
+                                " (ELL/cm cycle)")
                 if hier_i is None:
                     hier_i = amg_mod.build(system, system.bc_dofs,
                                            dtype=inner_dtype,
@@ -1164,6 +1195,44 @@ def run(
                             x=x.T.reshape(-1),
                             iters=res.iters, resnorm=res.resnorm,
                         )
+
+                if pc_fn in (_gmg_pc_g, _gmg_pc_ell):
+                    # Production acceptance test (VERDICT r4 #3: the
+                    # MUMPS reliability bar must live in the solver, not
+                    # just the bench). Miscompile #6 is BINARY-dependent:
+                    # a recompile of a clean geometric cycle can come back
+                    # silently corrupt (NaN or ~1e8 spikes that blow up
+                    # the inner iteration count). If a GMG-preconditioned
+                    # step returns a non-finite residual or exhausts its
+                    # iteration budget unconverged, demote to the SA-AMG
+                    # hierarchy (exact at all sizes) and re-solve; the
+                    # demotion is permanent for the run. Exercised by
+                    # tests/test_gmg.py::test_stepper_demotes_poisoned_gmg.
+                    _base_cg_solve = _cg_solve
+
+                    def _cg_solve(op_a, F, dg, bc_dofs_a, bc_vals_a, x0):
+                        nonlocal pc_fn, amg_ops, use_grid
+                        res = _base_cg_solve(op_a, F, dg, bc_dofs_a,
+                                             bc_vals_a, x0)
+                        if pc_fn not in (_gmg_pc_g, _gmg_pc_ell):
+                            return res  # already demoted
+                        rn = float(res.resnorm)
+                        budget = maxiter if maxiter else 600
+                        if np.isfinite(rn) and int(res.iters) < budget:
+                            return res
+                        log("    GMG acceptance FAILED ("
+                            + ("non-finite residual" if not np.isfinite(rn)
+                               else f"{int(res.iters)} inner iterations")
+                            + ") -> SA-AMG demotion")
+                        hier_sa = amg_mod.build(
+                            system, system.bc_dofs, dtype=inner_dtype,
+                            coarse_max=20000)
+                        amg_ops = {"op": op_i, "hier": hier_sa,
+                                   "mf_cm": mf_cm_i}
+                        pc_fn = _amg_pc_cm
+                        use_grid = False
+                        return _base_cg_solve(op_a, F, dg, bc_dofs_a,
+                                              bc_vals_a, x0)
 
                 diag = None
             else:

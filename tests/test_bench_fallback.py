@@ -1,12 +1,13 @@
-"""The bench GMG -> SA-AMG fallback must engage on a non-finite solve.
+"""The bench GMG -> SA-AMG fallback must engage on a corrupt solve.
 
 Round 3's only >=1M-dof GMG record was a NaN (TPU miscompile #5 corrupted
-the grid-shaped matvec before the grid-shaped fix landed); bench.py grew a
-defensive fallback — if the GMG-preconditioned solve comes back non-finite,
-rebuild with the gather-based SA-AMG hierarchy and re-solve — but it was
-never exercised (VERDICT r3 #2). This forces the failure on CPU by
-poisoning the grid-shaped block-stencil matvec (the exact op the round-3
-miscompile hit) and asserts the fallback produces a finite, converged
+the grid-shaped matvec before the grid-shaped fix landed); round 4 showed
+the corruption is BINARY-dependent (miscompile #6) and bench.py grew a
+defensive acceptance test — if the GMG-preconditioned solve comes back
+non-finite OR with blown-up iteration counts, rebuild with the gather-based
+SA-AMG hierarchy and re-solve. Since round 5 the 3D production path is the
+ELL/cm-shaped geometric cycle (gmg.build_lattice_ell); these tests poison
+that cycle on CPU and assert the fallback produces a finite, converged
 record. Mirrors the MUMPS-grade reliability bar of the reference's only
 solver configuration (/root/reference/src/main.F90:354-390).
 """
@@ -20,30 +21,25 @@ import pytest
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+pytestmark = pytest.mark.slow  # ~2 min: four full n=8 AMG/GMG solves on CPU
+
 
 def test_gmg_nonfinite_triggers_sa_fallback(monkeypatch):
     import bench
-    from fem_tpu.ops import blockstencil as bs
+    from fem_tpu.solver import gmg
 
     monkeypatch.setenv("FEM_TPU_BENCH_NO_RECORD", "1")
     # keep the env from redirecting the mesh size
     monkeypatch.delenv("FEM_TPU_BENCH_AMG_N", raising=False)
 
-    real_matvec_g = bs.matvec_g
+    real_v_ell = gmg.v_cycle_ell
 
-    def poisoned_matvec_g(op, v):
-        return real_matvec_g(op, v) * jnp.nan
+    def poisoned_v_ell(h, mv, r):
+        # models miscompile #6: the compiled cycle silently produces
+        # garbage while every standalone piece is exact
+        return real_v_ell(h, mv, r) * jnp.nan
 
-    def clean_matvec_cm(op, u_cm):
-        # bs.matvec_cm routes through the module-level matvec_g; keep the
-        # cm path wired to the REAL grid apply so the poison models the
-        # round-3 failure faithfully: the fused grid-shaped program was
-        # corrupt (miscompile #5) while the cm-layout program was exact.
-        g = real_matvec_g(op, u_cm.reshape((op.pdim,) + op.dims))
-        return g.reshape(op.pdim, -1)
-
-    monkeypatch.setattr(bs, "matvec_cm", clean_matvec_cm)
-    monkeypatch.setattr(bs, "matvec_g", poisoned_matvec_g)
+    monkeypatch.setattr(gmg, "v_cycle_ell", poisoned_v_ell)
 
     rec = bench.bench_amg_solve(n=8)
 
@@ -60,7 +56,7 @@ def test_gmg_finite_keeps_gmg(monkeypatch):
 
     rec = bench.bench_amg_solve(n=8)
 
-    assert rec["precond"] == "gmg"
+    assert rec["precond"] == "gmg-ell"
     assert np.isfinite(rec["rel_residual"])
     assert rec["rel_residual"] <= 1e-8
 
@@ -78,10 +74,26 @@ def test_gmg_degraded_convergence_triggers_sa_fallback(monkeypatch):
     monkeypatch.setenv("FEM_TPU_BENCH_NO_RECORD", "1")
     monkeypatch.delenv("FEM_TPU_BENCH_AMG_N", raising=False)
 
-    monkeypatch.setattr(gmg, "v_cycle_g", lambda h, mv, r: r)
+    monkeypatch.setattr(gmg, "v_cycle_ell", lambda h, mv, r: r)
 
     rec = bench.bench_amg_solve(n=8)
 
     assert rec["precond"] == "sa-amg-fallback"
+    assert np.isfinite(rec["rel_residual"])
+    assert rec["rel_residual"] <= 1e-8
+
+
+def test_force_gmg_uses_grid_cycle(monkeypatch):
+    """FEM_TPU_FORCE_GMG=1 opts 3D back into the grid-state cycle (the
+    experimental path; bench still acceptance-tests it)."""
+    import bench
+
+    monkeypatch.setenv("FEM_TPU_BENCH_NO_RECORD", "1")
+    monkeypatch.setenv("FEM_TPU_FORCE_GMG", "1")
+    monkeypatch.delenv("FEM_TPU_BENCH_AMG_N", raising=False)
+
+    rec = bench.bench_amg_solve(n=8)
+
+    assert rec["precond"] == "gmg"
     assert np.isfinite(rec["rel_residual"])
     assert rec["rel_residual"] <= 1e-8
