@@ -240,7 +240,28 @@ def bench_big_solve():
         r = b64_g - ax
         return r, r.astype(jnp.float32), jnp.sqrt(jnp.sum(r * r))
 
+    adapt = os.environ.get("FEM_TPU_BENCH_ADAPT", "0") == "1"
+    # cycle-boundary speculation (cg.ir_pcg_chunked): true-residual +
+    # first CG step + first chunk dispatched before the norm pull, so the
+    # ~30 ms blocking pull overlaps chunk execution (VERDICT r4 #6).
+    # FEM_TPU_BENCH_IRSPEC=0 pins the round-4 per-cycle-blocking form.
+    use_spec = os.environ.get("FEM_TPU_BENCH_IRSPEC", "1") == "1"
+
+    def _tr_spec(xg):
+        _, r32, rn_dev = true_resid(op64, b64_g, xg)
+        return r32, rn_dev
+
+    def _combine(xg, dx32):
+        return ((xg + dx32.astype(jnp.float64)) * (1.0 - mf64_g)
+                + ubc_g * mf64_g)
+
     def solve():
+        if use_spec:
+            x, inner_total, rel = cg.ir_pcg_chunked(
+                _tr_spec, _combine, A32, M32, (op32, hier32), ubc_g,
+                rtol=1e-9, maxcycles=8, maxiter=80, chunk=chunk,
+                adapt=adapt)
+            return x, None, inner_total, rel
         x = ubc_g
         inner_total = 0
         for k in range(8):
@@ -255,7 +276,7 @@ def bench_big_solve():
             # 1e-5 — at this size each extra IR cycle costs ~true-resid +
             # pipeline-warmup overhead, so fewer DEEP cycles can win;
             # FEM_TPU_BENCH_ADAPT=0 pins the fixed-1e-5 form.
-            if os.environ.get("FEM_TPU_BENCH_ADAPT", "0") == "1":
+            if adapt:
                 cyc_rtol = float(np.clip(0.5 * 1e-9 * r0 / rn, 1e-5, 0.5))
             else:
                 cyc_rtol = 1e-5
@@ -290,8 +311,8 @@ def bench_big_solve():
                   + ("/pipe" if pipe else "")
                   + (f"/lb{cheb_lb:g}" if cheb_lb != 30.0 else "")
                   + ("/W" if gamma >= 2 else "")
-                  + ("/adapt" if os.environ.get(
-                      "FEM_TPU_BENCH_ADAPT", "0") == "1" else ""),
+                  + ("/adapt" if adapt else "")
+                  + ("/spec" if use_spec else ""),
     }
     log(json.dumps(rec))
     _record_extra(rec)
@@ -370,7 +391,17 @@ def bench_amg_solve(n=None):
         amg_lb = float(os.environ.get("FEM_TPU_BENCH_CHEB_LB", "30"))
         h32 = None
         pc_kind = "sa-amg"
-        if dims is not None and os.environ.get("FEM_TPU_NO_GMG", "0") != "1":
+        # the GMG hierarchy build costs minutes of 1-core scipy RAP plus a
+        # cold cycle compile; inside a tight driver budget the honest move
+        # is to go straight to SA (still a converged solve record) rather
+        # than get killed mid-setup (round-5 rehearsal: 604 s cap, killed)
+        stage_cap = float(os.environ.get("FEM_TPU_BENCH_STAGE_CAP", "1e9"))
+        gmg_fits = stage_cap >= 900.0 * (n / 55.0) ** 3
+        if not gmg_fits:
+            log(f"amg solve: stage cap {stage_cap:.0f}s too small for the "
+                "GMG hierarchy build; SA-AMG only")
+        if (dims is not None and gmg_fits
+                and os.environ.get("FEM_TPU_NO_GMG", "0") != "1"):
             if len(dims) >= 3 and os.environ.get(
                     "FEM_TPU_FORCE_GMG", "0") != "1":
                 # 3D: the ELL/cm-shaped geometric cycle — the same
@@ -472,6 +503,20 @@ def bench_amg_solve(n=None):
         return r, r.astype(jnp.float32), jnp.sqrt(jnp.sum(r * r))
 
     def solve():
+        # cycle-boundary speculation (cg.ir_pcg_chunked, VERDICT r4 #6);
+        # FEM_TPU_BENCH_IRSPEC=0 pins the per-cycle-blocking form
+        if os.environ.get("FEM_TPU_BENCH_IRSPEC", "1") == "1":
+            def _tr(x2):
+                _, r32, rn_dev = true_resid(op64, F_cm, mf64_cm, x2)
+                return r32, rn_dev
+
+            def _comb(x2, dx32):
+                return x2 + dx32.astype(jnp.float64) * (1.0 - mf64_cm)
+
+            return cg.ir_pcg_chunked(
+                _tr, _comb, mv32, pc32, (op32, h32),
+                jnp.zeros_like(F_cm, dtype=jnp.float64),
+                rtol=1e-9, maxcycles=6, maxiter=120, chunk=4, adapt=True)
         x = jnp.zeros_like(F_cm, dtype=jnp.float64)
         inner = 0
         r0 = None
@@ -854,19 +899,16 @@ def main():
     tpu_ok = True
     if cap > 0:
         tpu_ok = _preflight_tpu(cap)
-    emitted = False
     if not tpu_ok:
-        # Honest failure record IMMEDIATELY — the artifact must parse even
-        # if everything after this hangs. Best-effort results (if the TPU
-        # recovers mid-run) still land in BENCH_extra.json + stderr.
-        print(json.dumps({
-            "metric": "hex8_element_stiffness_throughput",
-            "value": 0.0, "unit": "elems/sec", "vs_baseline": 0.0,
-            "error": "tpu worker unresponsive in preflight (wedge); "
-                     "see CLAUDE.md; best-effort results in BENCH_extra",
-        }), flush=True)
-        emitted = True
-        _HEADLINE_OUT = True
+        # DON'T emit the failure record yet: the round-5 rehearsal showed
+        # the probe can hang its full cap on a cold-relay-but-healthy chip
+        # (first contact paid >420 s) while the headline then succeeds —
+        # burning the one stdout line on a premature failure record would
+        # record 0.0 for a measurable chip. The headline attempt below has
+        # its own alarm, its failure path prints the honest record, and
+        # the failsafe timer covers an unkillable hang. Nothing can exit
+        # this process without one JSON line on stdout.
+        log("preflight failed; attempting headline anyway under its alarm")
     baseline, how = measure_reference_baseline()
     log(f"reference 64-core baseline: {baseline:.3e} elems/sec ({how})")
     # Watchdog on the headline measurement: a wedged TPU worker (this
@@ -887,12 +929,13 @@ def main():
         ne_rate, per_iter = bench_element_stiffness()
     except Exception as e:  # incl. TimeoutError — any failure here must
         # still produce a parsed artifact
-        if not emitted:
-            print(json.dumps({
-                "metric": "hex8_element_stiffness_throughput",
-                "value": 0.0, "unit": "elems/sec", "vs_baseline": 0.0,
-                "error": f"headline failed: {e!r}; see CLAUDE.md",
-            }), flush=True)
+        print(json.dumps({
+            "metric": "hex8_element_stiffness_throughput",
+            "value": 0.0, "unit": "elems/sec", "vs_baseline": 0.0,
+            "error": f"headline failed: {e!r}"
+                     + ("" if tpu_ok else " (preflight also failed)")
+                     + "; see CLAUDE.md",
+        }), flush=True)
         _HEADLINE_OUT = True
         return
     finally:
@@ -909,15 +952,9 @@ def main():
         "unit": "elems/sec",
         "vs_baseline": round(ne_rate / baseline, 3),
     }
-    if not emitted:
-        print(json.dumps(headline_rec), flush=True)
-        _HEADLINE_OUT = True
-    else:
-        # one-line stdout contract: the failure record already went out;
-        # the late recovery is recorded machine-readably elsewhere
-        log("headline (post-preflight-failure, stderr only): "
-            + json.dumps(headline_rec))
-        _record_extra(headline_rec)
+    print(json.dumps(headline_rec), flush=True)
+    _HEADLINE_OUT = True
+    _record_extra(headline_rec)
     # Everything below is best-effort evidence gathering, each stage gated
     # on the REMAINING global budget (min useful budget = observed cold
     # cost on a fresh host cache, BENCH_extra cold_s records) and capped by
@@ -982,24 +1019,13 @@ def main():
             log(f"{name}: killed after {timeout:.0f}s (runtime wedge or "
                 "cold-compile overrun)")
 
-    # Cheapest-first so a tight budget still lands the most records. Each
-    # stage cap = min(its historical cap, remaining - 60 s failsafe margin)
-    # and a stage is skipped outright when that cap is below its observed
-    # cold-start cost (amg ~300 s, big ~360 s, cohesive ~450 s one-solve).
-    if os.environ.get("FEM_TPU_BENCH_AMG", "1") == "1":
-        # 527k-dof jittered-mesh SA-AMG + f64/f32 IR (the mesh-agnostic
-        # MUMPS replacement). Host-side setup scales ~n^3 — the kill
-        # budget scales with the requested mesh (n=70 is the 1M-dof run).
-        amg_n = int(os.environ.get("FEM_TPU_BENCH_AMG_N", "55"))
-        amg_cap = min(max(1200, int(1200 * (amg_n / 55.0) ** 3)),
-                      _remaining() - 60.0)
-        if amg_cap >= 300.0:
-            run_isolated("import bench; bench.bench_amg_solve()",
-                         "amg solve", amg_cap)
-        else:
-            _skip("amg_ir_solve_wall_1e-9", "budget", _remaining())
-    else:
-        log("amg solve: skipped (FEM_TPU_BENCH_AMG=0)")
+    # Highest-evidence-per-cold-second first. Each stage cap = min(its
+    # historical cap, remaining - 60 s failsafe margin); a stage is skipped
+    # outright when that cap is below its observed cold-start cost (big
+    # ~360 s, amg ~300 s SA-only, cohesive ~450 s one-solve), and each
+    # subprocess learns its own cap via FEM_TPU_BENCH_STAGE_CAP so it can
+    # trim optional work (the amg stage skips the GMG hierarchy attempt —
+    # minutes of 1-core scipy RAP — when its cap cannot fit it).
     if os.environ.get("FEM_TPU_BENCH_BIG", "1") == "1":
         # 1.59M-DOF structured MG-IR solve; ~28 ms per fused MG-CG
         # iteration, steady wall <1 s, cold dominated by the one-time
@@ -1008,11 +1034,28 @@ def main():
         big_cap = min(900.0, _remaining() - 60.0)
         if big_cap >= 360.0:
             run_isolated("import bench; bench.bench_big_solve()",
-                         "big solve", big_cap)
+                         "big solve", big_cap,
+                         env={"FEM_TPU_BENCH_STAGE_CAP": str(int(big_cap))})
         else:
             _skip("mg_ir_solve_wall_1e-9", "budget", _remaining())
     else:
         log("big solve: skipped (FEM_TPU_BENCH_BIG=0)")
+    if os.environ.get("FEM_TPU_BENCH_AMG", "1") == "1":
+        # 527k-dof jittered-mesh geometric-ELL/SA AMG + f64/f32 IR (the
+        # mesh-agnostic MUMPS replacement). Host-side setup scales ~n^3 —
+        # the kill budget scales with the requested mesh (n=70 is the
+        # 1M-dof run).
+        amg_n = int(os.environ.get("FEM_TPU_BENCH_AMG_N", "55"))
+        amg_cap = min(max(1200, int(1200 * (amg_n / 55.0) ** 3)),
+                      _remaining() - 60.0)
+        if amg_cap >= 300.0:
+            run_isolated("import bench; bench.bench_amg_solve()",
+                         "amg solve", amg_cap,
+                         env={"FEM_TPU_BENCH_STAGE_CAP": str(int(amg_cap))})
+        else:
+            _skip("amg_ir_solve_wall_1e-9", "budget", _remaining())
+    else:
+        log("amg solve: skipped (FEM_TPU_BENCH_AMG=0)")
     if os.environ.get("FEM_TPU_BENCH_COH", "1") == "1":
         # >=100k-dof cohesive instability deck under matrix-free Newton —
         # the most expensive stage (two full solves, cold 392-985 s), so

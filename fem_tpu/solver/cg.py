@@ -328,6 +328,75 @@ def pcg_chunked(matvec, b, precond, operands, rtol: float = 1e-9,
     return CGResult(x=x, iters=jnp.asarray(k), resnorm=jnp.asarray(rnorm))
 
 
+def ir_pcg_chunked(true_resid, combine, matvec, precond, operands, x,
+                   rtol: float = 1e-9, maxcycles: int = 8,
+                   maxiter: int = 120, chunk: int = 4,
+                   adapt: bool = True):
+    """f64/f32 iterative refinement with SPECULATION ACROSS the cycle
+    boundary — the last tier of relay-sync overhead in the chunked solves
+    (VERDICT r4 next #6: the 1.59M structured solve ran ~28 ms/iter against
+    an ~18 ms/iter compute floor; the gap was the per-cycle blocking
+    true-residual pull plus the pipeline drain at each cycle's end).
+
+    Per cycle, the f64 true-residual program, the preconditioned first CG
+    step, and the FIRST chunk are all dispatched back-to-back BEFORE the
+    residual norm is pulled, so the ~30 ms blocking pull (tools/
+    sync_cost.py) overlaps chunk execution instead of serializing with it.
+    The inner loop then runs pcg_chunked's speculative 1-deep pipeline.
+    Cost: up to first+chunk dispatched wastefully at final convergence —
+    a few tens of ms once per solve, against ~30 ms saved per cycle.
+
+    Interface (all device-side, shape-agnostic):
+      true_resid(x) -> (r32, rn_dev): f64 residual of the CURRENT iterate,
+        cast to the inner dtype, plus its f64 norm (computed in-program so
+        the norm rides the same dispatch).
+      combine(x, dx32) -> x: apply the f32 correction in f64 (masked/BC
+        semantics live here).
+      matvec/precond(operands, v): the f32 chunk programs (same contract
+        and program cache as pcg_chunked).
+
+    Returns (x, inner_total, rel_residual_estimate) where the estimate is
+    rn/r0 from the LAST true-residual pull (callers wanting a final
+    verified residual run true_resid once more)."""
+    import numpy as np
+
+    first, advance, _ = _chunk_programs(matvec, precond, chunk)
+    inner_total = 0
+    r0n = None
+    rn = 0.0
+    for _cyc in range(maxcycles):
+        r32, rn_dev = true_resid(x)
+        # speculative: preconditioned first step + chunk 1 queue behind
+        # the true-residual program; the rn pull below overlaps them
+        r, z, rz = first(operands, r32)
+        nxt = advance(operands, jnp.zeros_like(r32), r, z, rz)
+        rn = float(rn_dev)
+        if r0n is None:
+            r0n = max(rn, 1e-300)
+        if rn <= rtol * r0n or not np.isfinite(rn):
+            break  # first+chunk dispatched wastefully — once per solve
+        if adapt:
+            # ask only for the remaining reduction (x0.5 safety), floored
+            # at 1e-5 (f32 CG's reliable single-cycle reach)
+            cyc_rtol = float(np.clip(0.5 * rtol * r0n / rn, 1e-5, 0.5))
+        else:
+            cyc_rtol = 1e-5
+        tol_c = cyc_rtol * rn
+        k = chunk
+        while True:
+            spec = (advance(operands, nxt[0], nxt[1], nxt[2], nxt[3])
+                    if k < maxiter else None)
+            rnorm = float(nxt[4])
+            if rnorm <= tol_c or spec is None:
+                xc = nxt[0]
+                break
+            nxt = spec
+            k += chunk
+        inner_total += k
+        x = combine(x, xc)
+    return x, inner_total, (rn / r0n if r0n else 0.0)
+
+
 def pcg_host(matvec, b, precond, operands, rtol: float = 1e-9,
              atol: float = 0.0, maxiter: int = 200) -> CGResult:
     """Host-driven PCG: one jitted CG iteration per dispatch.
