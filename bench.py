@@ -409,10 +409,13 @@ def bench_amg_solve(n=None):
                 # proves exact at all sizes (grid-state 3D cycles are
                 # miscompile #6, binary-dependent; gmg.build_lattice
                 # declines them on this backend)
-                h32 = gmg.build_lattice_ell(A_csr, s.pdim, dims,
-                                            bc_dofs=s.bc_dofs,
-                                            dtype=jnp.float32,
-                                            lb_frac=amg_lb)
+                h32 = gmg.build_lattice_ell(
+                    A_csr, s.pdim, dims, bc_dofs=s.bc_dofs,
+                    dtype=jnp.float32, lb_frac=amg_lb,
+                    degree=int(os.environ.get("FEM_TPU_BENCH_AMG_DEG",
+                                              "3")),
+                    transfer=os.environ.get("FEM_TPU_BENCH_ELLT",
+                                            "matmul"))
                 if h32 is not None:
                     pc_kind = "gmg-ell"
             else:
@@ -588,6 +591,9 @@ def bench_amg_solve(n=None):
            "unit": "s", "ndof": s.ndof, "inner_iters": inner,
            "rel_residual": rel, "cold_s": round(cold, 1),
            "operator": op_kind, "precond": pc_kind}
+    if pc_kind == "gmg-ell":
+        rec["transfer"] = os.environ.get("FEM_TPU_BENCH_ELLT", "matmul")
+        rec["degree"] = int(os.environ.get("FEM_TPU_BENCH_AMG_DEG", "3"))
     log(json.dumps(rec))
     _record_extra(rec)
     return rec

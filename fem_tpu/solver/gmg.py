@@ -489,8 +489,17 @@ class GMGEllLevel:
     pt_vals: jax.Array  # (Kp, nf)
     rt_nodes: jax.Array  # (Ka, nc) int32
     rt_vals: jax.Array  # (Ka, nc)
+    # per-axis DENSE kron factors (nf_ax, nc_ax), None on uncoarsened axes
+    # — the transfer="matmul" path contracts them on the MXU instead of
+    # gathering (profile at 1.07M: gather transfers 16.6 ms/cycle vs
+    # ~2 ms of tiny matmuls)
+    ax_p: Tuple[Optional[jax.Array], ...]
     theta: float = dataclasses.field(metadata=dict(static=True))
     delta: float = dataclasses.field(metadata=dict(static=True))
+    dims_f: Tuple[int, ...] = dataclasses.field(metadata=dict(static=True))
+    dims_c: Tuple[int, ...] = dataclasses.field(metadata=dict(static=True))
+    transfer: str = dataclasses.field(default="gather",
+                                      metadata=dict(static=True))
 
 
 @jax.tree_util.register_dataclass
@@ -519,6 +528,7 @@ def build_lattice_ell(
     degree: int = 3,
     dtype=jnp.float32,
     lb_frac: float = 30.0,
+    transfer: str = "gather",
 ) -> Optional[GMGEllPrecond]:
     """Geometric hierarchy (identical host construction to build_lattice:
     strength-guided semi-coarsening kron P, Galerkin RAP, every level a
@@ -571,6 +581,8 @@ def build_lattice_ell(
         nc_nodes = Pn.shape[1]
         pt_n, pt_v, rt_n, rt_v = _node_transfer_tables(
             Pn.tocsr(), nnds_l, nc_nodes)
+        next_dims = tuple((dd + 1) // 2 if f else dd
+                          for dd, f in zip(cur_dims, flags))
         levels.append(GMGEllLevel(
             op=op,
             dinv_cm=jnp.asarray(
@@ -579,14 +591,20 @@ def build_lattice_ell(
             pt_vals=jnp.asarray(pt_v.astype(np_dtype)),
             rt_nodes=jnp.asarray(rt_n),
             rt_vals=jnp.asarray(rt_v.astype(np_dtype)),
+            ax_p=tuple(
+                (jnp.asarray(_p1d(dd).toarray().astype(np_dtype))
+                 if f else None)
+                for dd, f in zip(cur_dims, flags)),
             theta=float(0.5 * (lam_max + lb)),
             delta=float(0.5 * (lam_max - lb)),
+            dims_f=cur_dims,
+            dims_c=next_dims,
+            transfer=transfer,
         ))
         P = sp.kron(Pn, sp.identity(pdim, format="csr"), format="csr")
         cur_A = (P.T.tocsr() @ (cur_A @ P)).tocsr()
         cur_A.sum_duplicates()
-        cur_dims = tuple((dd + 1) // 2 if f else dd
-                         for dd, f in zip(cur_dims, flags))
+        cur_dims = next_dims
     if not levels:
         return None
     if cur_A.shape[0] > dense_coarse_cap:
@@ -617,9 +635,24 @@ def _cheb_cm(matvec_cm, lv: GMGEllLevel, x, b, degree: int):
 
 
 def restrict_cm(lv: GMGEllLevel, res_cm):
-    """P^T @ res in cm layout: one (Ka, nc)-index node gather + weighted
-    sum. res_cm (pdim, nf) -> (pdim, nc). Gather results keep the LARGE
-    node axis trailing (lanes) per the TPU gather rules."""
+    """P^T @ res in cm layout. transfer='gather': one (Ka, nc)-index node
+    gather + weighted sum (results keep the LARGE node axis trailing per
+    the TPU gather rules). transfer='matmul': per-axis contractions with
+    the tiny dense kron factors — MXU work instead of gathers (16.6 ->
+    ~2 ms/cycle at 1.07M); the grid reshapes stay INSIDE this function
+    (same single-op-boundary pattern as bs.matvec_cm, proven exact at
+    1.07M — not the cross-op grid-state interleaves of miscompile #6).
+    res_cm (pdim, nf) -> (pdim, nc)."""
+    if lv.transfer == "matmul":
+        g = res_cm.reshape((res_cm.shape[0],) + lv.dims_f)
+        for ax, P in enumerate(lv.ax_p):
+            if P is None:
+                continue
+            # contract the FINE axis with P (nf_ax, nc_ax) -> P^T apply
+            g = jnp.tensordot(P, g, axes=[[0], [1 + ax]],
+                              precision=jax.lax.Precision.HIGHEST)
+            g = jnp.moveaxis(g, 0, 1 + ax)
+        return g.reshape(res_cm.shape[0], -1)
     res_pad = jnp.pad(res_cm, ((0, 0), (0, 1)))  # zero node column
     gath = res_pad.at[:, lv.rt_nodes].get(
         mode="promise_in_bounds")  # (pdim, Ka, nc)
@@ -627,8 +660,18 @@ def restrict_cm(lv: GMGEllLevel, res_cm):
 
 
 def prolong_cm(lv: GMGEllLevel, xc_cm):
-    """P @ xc in cm layout: one (Kp, nf)-index node gather + weighted sum.
-    xc_cm (pdim, nc) -> (pdim, nf)."""
+    """P @ xc in cm layout (adjoint of restrict_cm, same two program
+    shapes). xc_cm (pdim, nc) -> (pdim, nf)."""
+    if lv.transfer == "matmul":
+        g = xc_cm.reshape((xc_cm.shape[0],) + lv.dims_c)
+        for ax, P in enumerate(lv.ax_p):
+            if P is None:
+                continue
+            # contract the COARSE axis with P (nf_ax, nc_ax)
+            g = jnp.tensordot(P, g, axes=[[1], [1 + ax]],
+                              precision=jax.lax.Precision.HIGHEST)
+            g = jnp.moveaxis(g, 0, 1 + ax)
+        return g.reshape(xc_cm.shape[0], -1)
     xc_pad = jnp.pad(xc_cm, ((0, 0), (0, 1)))
     gath = xc_pad.at[:, lv.pt_nodes].get(
         mode="promise_in_bounds")  # (pdim, Kp, nf)

@@ -396,3 +396,54 @@ def test_stepper_demotes_poisoned_gmg_ell(monkeypatch):
     r_dir = stepper.run(p, Config(solver="direct"))
     nu = np.linalg.norm(r_dir.aggregate_u)
     assert np.linalg.norm(r.aggregate_u - r_dir.aggregate_u) < 1e-7 * nu
+
+
+def test_ell_matmul_transfers_match_gather():
+    """transfer='matmul' (per-axis dense kron contractions on the MXU)
+    must be the SAME map as the gather tables — both are Pn; only the
+    program shape differs."""
+    for dims_args in [((6, 6, 6), 0.25), ((8, 8, 8), 0.25)]:
+        n = dims_args[0][0]
+        s, A, dims = _jittered(n)
+        hg_ = gmg.build_lattice_ell(A, s.pdim, dims, bc_dofs=s.bc_dofs,
+                                    dtype=jnp.float64, transfer="gather")
+        hm_ = gmg.build_lattice_ell(A, s.pdim, dims, bc_dofs=s.bc_dofs,
+                                    dtype=jnp.float64, transfer="matmul")
+        rng = np.random.default_rng(0)
+        for lg, lm in zip(hg_.levels, hm_.levels):
+            nf = lg.dinv_cm.shape[1]
+            nc = lg.rt_vals.shape[1]
+            r = jnp.asarray(rng.standard_normal((s.pdim, nf)))
+            xc = jnp.asarray(rng.standard_normal((s.pdim, nc)))
+            np.testing.assert_allclose(
+                np.asarray(gmg.restrict_cm(lm, r)),
+                np.asarray(gmg.restrict_cm(lg, r)), rtol=1e-12, atol=1e-13)
+            np.testing.assert_allclose(
+                np.asarray(gmg.prolong_cm(lm, xc)),
+                np.asarray(gmg.prolong_cm(lg, xc)), rtol=1e-12, atol=1e-13)
+
+
+def test_ell_matmul_semi_coarsen_transfers_match_gather():
+    """Identity (uncoarsened) axes must pass through the matmul path
+    unchanged — the anisotropic deck semi-coarsens axis 0."""
+    p = meshgen.hex_box_problem(8, 8, 8, jitter=0.25)  # lx=10 anisotropic
+    s = System(p, dtype=jnp.float64)
+    A = amg.assemble_csr(s)
+    dims = bs.detect(A, s.pdim, s.nnds)
+    hg_ = gmg.build_lattice_ell(A, s.pdim, dims, bc_dofs=s.bc_dofs,
+                                dtype=jnp.float64, transfer="gather")
+    hm_ = gmg.build_lattice_ell(A, s.pdim, dims, bc_dofs=s.bc_dofs,
+                                dtype=jnp.float64, transfer="matmul")
+    assert any(P is None for P in hm_.levels[0].ax_p)  # semi-coarsened
+    rng = np.random.default_rng(1)
+    for lg, lm in zip(hg_.levels, hm_.levels):
+        nf = lg.dinv_cm.shape[1]
+        nc = lg.rt_vals.shape[1]
+        r = jnp.asarray(rng.standard_normal((s.pdim, nf)))
+        xc = jnp.asarray(rng.standard_normal((s.pdim, nc)))
+        np.testing.assert_allclose(
+            np.asarray(gmg.restrict_cm(lm, r)),
+            np.asarray(gmg.restrict_cm(lg, r)), rtol=1e-12, atol=1e-13)
+        np.testing.assert_allclose(
+            np.asarray(gmg.prolong_cm(lm, xc)),
+            np.asarray(gmg.prolong_cm(lg, xc)), rtol=1e-12, atol=1e-13)
