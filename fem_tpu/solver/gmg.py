@@ -528,17 +528,21 @@ def build_lattice_ell(
     degree: int = 3,
     dtype=jnp.float32,
     lb_frac: float = 30.0,
-    transfer: str = "gather",
+    transfer: str = "matmul",
 ) -> Optional[GMGEllPrecond]:
     """Geometric hierarchy (identical host construction to build_lattice:
     strength-guided semi-coarsening kron P, Galerkin RAP, every level a
     lattice block stencil) packaged for the ELL/cm cycle. Unlike
     build_lattice this is NOT declined on 3D TPU backends — the cm program
-    shape is the miscompile-#6 remedy, not a victim (stress-tested by
-    repeated fresh-compile acceptance runs; see BENCH_extra r5 records).
-    Returns None only if a Galerkin level leaves the lattice or the coarse
-    level is too large to invert densely. MUMPS role: one reliable solver
-    configuration for any mesh/any size (main.F90:354-390)."""
+    shape is the miscompile-#6 remedy, not a victim. Stress-tested round
+    5: five fresh-compile (FEM_TPU_NO_CACHE=1) acceptance runs — 3x527k +
+    2x1.07M, matmul transfers — all converged identically (24 inner its,
+    rel 2.0e-11/1.6e-11, zero demotions; BENCH_extra r5). Records: 527k
+    0.432 s / 1.07M 0.771 s steady vs SA-AMG 0.72/1.606 s and the
+    grid-cycle's NaN at 1.07M. Returns None only if a Galerkin level
+    leaves the lattice or the coarse level is too large to invert
+    densely. MUMPS role: one reliable solver configuration for any
+    mesh/any size (main.F90:354-390)."""
     import scipy.sparse as sp
 
     A = A.tocsr()
