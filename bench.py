@@ -965,7 +965,10 @@ def main():
     # on the REMAINING global budget (min useful budget = observed cold
     # cost on a fresh host cache, BENCH_extra cold_s records) and capped by
     # it. Skipped stages are honestly recorded (VERDICT r4 #1).
-    if _remaining() > 420.0:
+    # pallas is evidence of the kernel-language closure, not a fast path
+    # (XLA beats it on this op) — it yields its 180 s to the solve stages
+    # unless the budget is generous
+    if _remaining() > 1200.0:
         try:
             import signal
 
