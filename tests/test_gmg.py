@@ -333,6 +333,34 @@ def test_gmg_ell_preconditioner_is_symmetric():
     assert abs(left - right) < 1e-8 * (abs(left) + abs(right) + 1e-30)
 
 
+def test_gmg_ell_bf16_preconditioner_converges():
+    """bf16-WEIGHTS preconditioner cycle (tools/bf16pc_ab.py): casting the
+    hierarchy + the fine smoothing operator to bfloat16 halves the
+    dominant HBM traffic of the GMG-ELL iteration (the 27*pdim^2
+    coefficient blocks stream 4x per CG iteration). The rounded cycle is
+    still a valid preconditioner — convergence must hold at near-identical
+    iteration counts (the on-chip A/B at 527k dofs matched f32 exactly).
+    The CG operator itself stays full precision: IR contraction goes like
+    kappa * operator rounding, so only M^-1 may be cast."""
+    s, A, dims = _jittered(8)
+    iters_f32, Amv, b, _ = _pcg_counts_ell(s, A, dims)
+    h = gmg.build_lattice_ell(A, s.pdim, dims, bc_dofs=s.bc_dofs,
+                              dtype=jnp.float32)
+    h_lo = h.astype(jnp.bfloat16)
+    op_lo = bs.build(amg._eliminate_bcs(A.tocsr(), np.asarray(s.bc_dofs)),
+                     s.pdim, dims, dtype=jnp.float32).astype(jnp.bfloat16)
+
+    def pc_lo(r):
+        r_cm = r.reshape(-1, s.pdim).T.astype(jnp.bfloat16)
+        z = gmg.v_cycle_ell(h_lo, lambda v: bs.matvec_cm(op_lo, v), r_cm)
+        return z.astype(r.dtype).T.reshape(-1)
+
+    res = cg.pcg(Amv, b, rtol=1e-9, maxiter=400, precond=pc_lo)
+    bn = float(jnp.linalg.norm(b))
+    assert float(res.resnorm) <= 1e-9 * bn
+    assert int(res.iters) <= iters_f32 + 10
+
+
 def test_gmg_ell_semi_coarsens_anisotropic_deck():
     """build_lattice_ell shares the strength-guided semi-coarsening logic;
     the anisotropic cantilever deck must still converge in SA-class
