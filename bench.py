@@ -475,22 +475,51 @@ def bench_amg_solve(n=None):
             mf64_cm = mf64_cm.reshape(gshape)
             F_cm = F_cm.reshape(gshape)
         mv_cm = bs.matvec_g
+    lo_ops = None
+    if (pc_kind == "gmg-ell"
+            and os.environ.get("FEM_TPU_BENCH_BF16PC", "1") == "1"):
+        # bf16-WEIGHTS preconditioner cycle (round 5, tools/bf16pc_ab.py):
+        # the GMG-ELL iteration is bandwidth-bound on the fine stencil
+        # coefficient reads (4 streams of the 27*pdim^2 block array per CG
+        # iteration — 1 CG matvec + 3 Chebyshev applies); casting the
+        # PRECONDITIONER's weights to bfloat16 halves that traffic
+        # (on-chip A/B at 527k: 10.9 -> 5.8 ms/iter fused, solve 0.546 ->
+        # 0.370 s at 24 -> 28 inner its). The CG matvec and f64 refinement
+        # stay full-precision — IR contraction goes like kappa * operator
+        # rounding, so only M^-1 may be cast. A corrupt/degraded bf16
+        # binary is caught by the same acceptance test below and demotes
+        # to SA-AMG. FEM_TPU_BENCH_BF16PC=0 pins the f32 cycle.
+        with jax.default_device(cpu):
+            lo_ops = (op32.astype(jnp.bfloat16), h32.astype(jnp.bfloat16),
+                      mf32_cm.astype(jnp.bfloat16))
     op64, op32, h32, mf32_cm, mf64_cm, F_cm = jax.device_put(
         (op64, op32, h32, mf32_cm, mf64_cm, F_cm), tpu)
+    if lo_ops is not None:
+        lo_ops = jax.device_put(lo_ops, tpu)
 
     def mv32(ops, v):
-        o, _ = ops
+        o = ops[0]
         keep = 1.0 - mf32_cm
         return mv_cm(o, v * keep) * keep + v * mf32_cm
 
     def pc32(ops, r):
-        o, hh = ops
+        o, hh = ops[0], ops[1]
         keep = 1.0 - mf32_cm
 
         def fine_mv(v):
             return mv_cm(o, v * keep) * keep + v * mf32_cm
 
         if isinstance(hh, gmg.GMGEllPrecond):
+            if len(ops) > 2:  # bf16-weights cycle behind f32 boundaries
+                ol, hl, mfl = ops[2], ops[3], ops[4]
+                keepl = 1.0 - mfl
+
+                def fine_lo(v):
+                    return mv_cm(ol, v * keepl) * keepl + v * mfl
+
+                z = gmg.v_cycle_ell(hl, fine_lo,
+                                    r.astype(ol.vals.dtype))
+                return z.astype(r.dtype)
             return gmg.v_cycle_ell(hh, fine_mv, r)
         if isinstance(hh, gmg.GMGPrecond):
             return gmg.v_cycle_g(hh, fine_mv, r)
@@ -508,6 +537,8 @@ def bench_amg_solve(n=None):
     def solve():
         # cycle-boundary speculation (cg.ir_pcg_chunked, VERDICT r4 #6);
         # FEM_TPU_BENCH_IRSPEC=0 pins the per-cycle-blocking form
+        opnds = ((op32, h32) if lo_ops is None
+                 else (op32, h32) + tuple(lo_ops))
         if os.environ.get("FEM_TPU_BENCH_IRSPEC", "1") == "1":
             def _tr(x2):
                 _, r32, rn_dev = true_resid(op64, F_cm, mf64_cm, x2)
@@ -517,7 +548,7 @@ def bench_amg_solve(n=None):
                 return x2 + dx32.astype(jnp.float64) * (1.0 - mf64_cm)
 
             return cg.ir_pcg_chunked(
-                _tr, _comb, mv32, pc32, (op32, h32),
+                _tr, _comb, mv32, pc32, opnds,
                 jnp.zeros_like(F_cm, dtype=jnp.float64),
                 rtol=1e-9, maxcycles=6, maxiter=120, chunk=4, adapt=True)
         x = jnp.zeros_like(F_cm, dtype=jnp.float64)
@@ -536,7 +567,7 @@ def bench_amg_solve(n=None):
             # iterations)
             cyc_rtol = float(np.clip(0.5 * 1e-9 * r0 / rn, 1e-5, 0.5))
             res = cg.pcg_chunked(mv32, r32, pc32,
-                                 (op32, h32), rtol=cyc_rtol, maxiter=120,
+                                 opnds, rtol=cyc_rtol, maxiter=120,
                                  chunk=4, pipeline=True, bnorm=rn)
             inner += int(res.iters)
             x = x + res.x.astype(jnp.float64) * (1.0 - mf64_cm)
@@ -567,6 +598,7 @@ def bench_amg_solve(n=None):
         # (ADVICE r3). Exercised by tests/test_bench_fallback.py.
         log(f"amg solve: GMG solve {'non-finite' if not np.isfinite(rel) else f'degraded ({inner} inner its)'} -> SA-AMG fallback")
         pc_kind = "sa-amg-fallback"
+        lo_ops = None  # the bf16 cycle rode the demoted hierarchy
         nnds_ = s.ndof // s.pdim
         with jax.default_device(cpu):
             mf32_cm = jnp.asarray(
@@ -594,6 +626,7 @@ def bench_amg_solve(n=None):
     if pc_kind == "gmg-ell":
         rec["transfer"] = os.environ.get("FEM_TPU_BENCH_ELLT", "matmul")
         rec["degree"] = int(os.environ.get("FEM_TPU_BENCH_AMG_DEG", "3"))
+        rec["bf16pc"] = lo_ops is not None
     log(json.dumps(rec))
     _record_extra(rec)
     return rec
